@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction job end-to-end;
+``queries()`` / ``oracle_sql()`` expose the operator catalog
+(table_transformer_spark.driver_queries) for the DuckDB correctness
+gate.
 """
 
 from __future__ import annotations
@@ -13,26 +12,61 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from table_transformer_spark.driver_queries import ORACLES, QUERIES
+
+_ENTRY_DOCS = 24
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the table-extraction pipeline over the
+    BASELINE-contract corpus.
+
+    The input table (``documents(doc_id, spans)`` interleaved text+media,
+    BASELINE.json input_hint) does not exist in the driver testdata, so
+    it is synthesized deterministically on executors (seed=42), exactly
+    as the tests and bench do — no external data.  Returns the ordered
+    output spans (doc_id, kind, text, media_ref, offset); row count and
+    schema are stable across runs and parallelism levels.
+    """
+    from table_transformer_spark.fixtures.spark_io import documents_df, media_df
+    from table_transformer_spark.pipeline.extract import extract
+
+    docs = documents_df(spark, _ENTRY_DOCS)
+    media = media_df(spark, _ENTRY_DOCS)
+    return extract(docs, media, mode="clean")
+
+
+def _extraction_query(mode: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # sf_dir carries the TPC-H-ish tables; the extraction corpus is
+        # synthesized (input_hint shape) — size chosen to keep the
+        # per-round check fast while covering the skew slice.
+        from table_transformer_spark.fixtures.spark_io import (
+            documents_df,
+            media_df,
+        )
+        from table_transformer_spark.pipeline.extract import extract
+
+        docs = documents_df(spark, _ENTRY_DOCS)
+        media = media_df(spark, _ENTRY_DOCS)
+        return extract(docs, media, mode=mode)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """Operator inventory: every SQL-expressible operator from
+    SURVEY.md §2 paired with a DuckDB oracle, plus the non-SQL
+    extraction pipeline itself (rows-only check)."""
+    out = dict(QUERIES)
+    out["extract_spans_clean"] = _extraction_query("clean")
+    out["extract_spans_noisy"] = _extraction_query("noisy")
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL per query (see driver_queries for the paired
+    implementations).  extract_spans_* and simhash_neardup_pairs are
+    deliberately omitted: the cells kernel chain and the 64-bit hash are
+    not ANSI-SQL-expressible (driver records rows-only checks)."""
+    return dict(ORACLES)

@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Benchmark runner: headline operator queries at $SPARK_GRAFT_SF_DIR
+plus the flagship extraction job, on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "extraction_docs_per_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir          (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] core count    (default 32)
+  BENCH_EXTRACT_DOCS   corpus size for the extraction throughput measure
+                       (default 400)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+EXTRACT_DOCS = int(os.environ.get("BENCH_EXTRACT_DOCS", "400"))
+
+# headline operator queries (subset of the full catalog: one per family)
+BENCH_QUERIES = [
+    "lineitem_pricing_rollup",
+    "revenue_by_nation",
+    "iob_containment_join",
+    "argmax_slot_assignment",
+    "top1_per_group",
+    "cumsum_renumber",
+    "header_prefix_run",
+    "grid_pivot_export",
+    "multiset_intersection_fscore",
+    "windowed_event_counts",
+    "sessionize_events",
+    "exact_dedup",
+    "minhash_band_buckets",
+    "ngram_jaccard_pairs",
+    "simhash_neardup_pairs",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "token_count",
+    "quality_features",
+    "doc_fingerprints",
+]
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from table_transformer_spark.driver_queries import QUERIES
+    from table_transformer_spark.fixtures.spark_io import documents_df, media_df
+    from table_transformer_spark.pipeline.extract import extract
+    from table_transformer_spark.pipeline.session import get_spark
+
+    spark = get_spark(app_name="ttspark-bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _run(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+
+    # flagship extraction throughput (docs/sec) over the synthesized
+    # BASELINE-contract corpus
+    docs = documents_df(spark, EXTRACT_DOCS)
+    media = media_df(spark, EXTRACT_DOCS)
+    t0 = time.perf_counter()
+    _run(extract(docs, media, mode="clean"))
+    extract_sec = time.perf_counter() - t0
+    timings["extract_spans_clean"] = round(extract_sec, 3)
+    docs_per_sec = round(EXTRACT_DOCS / extract_sec, 3)
+    print(f"[bench] extraction: {EXTRACT_DOCS} docs in "
+          f"{extract_sec:.1f}s → {docs_per_sec} docs/s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "extraction_docs_per_sec",
+        "value": docs_per_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        "extract_docs": EXTRACT_DOCS,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,732 @@
+"""Driver-contract query catalog: Spark implementation + DuckDB oracle
+for every SQL-expressible operator (SURVEY.md §2, FIXTURES.md §7).
+
+Each entry pairs a ``(spark, sf_dir) -> DataFrame`` callable with an
+ANSI-SQL oracle string run by DuckDB over the same parquet tables.
+Conventions that keep the driver's order-insensitive value-hash stable:
+
+* every computed column is aliased identically on both sides;
+* comparisons/metrics stay in exact integer arithmetic wherever the
+  semantics allow (containment tests as ``2*overlap >= span`` etc.);
+* unavoidable doubles are ``round(x, 2..6)`` on both sides.
+
+Geometric queries derive deterministic bboxes from TPC-H-ish integer
+columns — same formulas in Spark and SQL — so the spatial operator
+algebra (iob theta-join, argmax slotting, prefix runs, midpoint
+dilation, cumsum renumbering, pivot export, DAR multiset intersection)
+is oracle-checked end-to-end without external fixture files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational core (scan/agg/join — the Catalyst-optimized baseline shapes)
+# ---------------------------------------------------------------------------
+
+def q_lineitem_pricing_rollup(spark, sf_dir):
+    """TPC-H-Q1-shaped scan→agg→sort (reference analog: corpus-level
+    metric rollups, src/eval.py:394-423)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+ORACLE_LINEITEM_PRICING_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       round(avg(l_quantity), 6)                            AS avg_qty,
+       count(*)                                             AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """3-way join with small-dim broadcast (customer→nation dims)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy("n_name"))
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# geometric-relational operators (§2.2-§2.3) on derived integer boxes
+#
+# containers: 8 vertical strips  [cid*125, 0, cid*125+125, 1000]
+# packages:   lineitem-derived   [px, py, px+10, py+10]
+#             px = (l_partkey*7) % 990, py = (l_orderkey*13) % 990
+# ---------------------------------------------------------------------------
+
+_PKG = ("SELECT l_orderkey, l_linenumber, "
+        "(l_partkey*7) % 990 AS px, (l_orderkey*13) % 990 AS py "
+        "FROM lineitem")
+
+
+def _packages(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        ((F.col("l_partkey") * 7) % 990).alias("px"),
+        ((F.col("l_orderkey") * 13) % 990).alias("py"))
+
+
+def _containers(spark):
+    return (spark.range(8)
+            .select(F.col("id").cast("int").alias("cid"),
+                    (F.col("id") * 125).alias("cx0"),
+                    (F.col("id") * 125 + 125).alias("cx1")))
+
+
+def q_class_threshold_filter(spark, sf_dir):
+    """Per-class score thresholds as a broadcast join + filter
+    (apply_class_thresholds, src/postprocess.py:16-31)."""
+    events = load(spark, sf_dir, "events")
+    thresholds = spark.createDataFrame(
+        [("click", 10.0), ("view", 5.0), ("purchase", 20.0),
+         ("error", 50.0), ("signup", 1.0)],
+        ["event_type", "tau"])
+    return (events.join(F.broadcast(thresholds), "event_type")
+            .filter(F.col("value") >= F.col("tau"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .orderBy("event_type"))
+
+
+ORACLE_CLASS_THRESHOLD_FILTER = """
+WITH thresholds(event_type, tau) AS (
+  VALUES ('click', 10.0), ('view', 5.0), ('purchase', 20.0),
+         ('error', 50.0), ('signup', 1.0)
+)
+SELECT e.event_type, count(*) AS n_kept, round(sum(e.value), 2) AS sum_value
+FROM events e JOIN thresholds t ON e.event_type = t.event_type
+WHERE e.value >= t.tau
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+def q_iob_containment_join(spark, sf_dir):
+    """Token→container containment theta-join: ≥50% of the package's
+    x-extent inside the strip (iob join, src/inference.py:270,307-308).
+    Integer arithmetic: overlap*2 >= width(=10)."""
+    pkg = _packages(spark, sf_dir)
+    con = _containers(spark)
+    ov = (F.least(F.col("px") + 10, F.col("cx1"))
+          - F.greatest(F.col("px"), F.col("cx0")))
+    return (pkg.join(F.broadcast(con), ov * 2 >= 10)
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n_tokens"))
+            .orderBy("cid"))
+
+
+ORACLE_IOB_CONTAINMENT_JOIN = f"""
+WITH pkg AS ({_PKG}),
+con AS (SELECT cid, cid*125 AS cx0, cid*125+125 AS cx1
+        FROM (SELECT unnest(range(8))::int AS cid))
+SELECT cid, count(*) AS n_tokens
+FROM pkg JOIN con
+  ON (least(px + 10, cx1) - greatest(px, cx0)) * 2 >= 10
+GROUP BY cid
+ORDER BY cid
+"""
+
+
+def q_argmax_slot_assignment(spark, sf_dir):
+    """slot_into_containers as an argmax window: each package goes to the
+    container holding its largest fraction, ties to the lower container
+    id (src/postprocess.py:208-248)."""
+    pkg = _packages(spark, sf_dir)
+    con = _containers(spark)
+    ov = (F.least(F.col("px") + 10, F.col("cx1"))
+          - F.greatest(F.col("px"), F.col("cx0")))
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        F.col("overlap").desc(), F.col("cid").asc())
+    return (pkg.join(F.broadcast(con), ov > 0)
+            .withColumn("overlap", ov)
+            .withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("overlap") * 2 >= 10))
+            .select("l_orderkey", "l_linenumber", "cid", "overlap"))
+
+
+ORACLE_ARGMAX_SLOT_ASSIGNMENT = f"""
+WITH pkg AS ({_PKG}),
+con AS (SELECT cid, cid*125 AS cx0, cid*125+125 AS cx1
+        FROM (SELECT unnest(range(8))::int AS cid)),
+scored AS (
+  SELECT l_orderkey, l_linenumber, cid,
+         least(px + 10, cx1) - greatest(px, cx0) AS overlap,
+         row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+                            ORDER BY (least(px + 10, cx1) - greatest(px, cx0)) DESC,
+                                     cid ASC) AS rn
+  FROM pkg JOIN con ON least(px + 10, cx1) - greatest(px, cx0) > 0
+)
+SELECT l_orderkey, l_linenumber, cid, overlap
+FROM scored WHERE rn = 1 AND overlap * 2 >= 10
+"""
+
+
+def q_top1_per_group(spark, sf_dir):
+    """Top-score object per group (top-1 table select,
+    src/eval.py:65-71)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(),
+                                              F.col("event_id").asc())
+    return (events.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "value"))
+
+
+ORACLE_TOP1_PER_GROUP = """
+SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_cumsum_renumber(spark, sf_dir):
+    """Empty-row removal + cumulative renumbering
+    (clean_xml_annotation, scripts/process_pubmed.py:711-765): drop
+    'empty' lines (l_quantity < 3), renumber survivors densely."""
+    li = load(spark, sf_dir, "lineitem")
+    w = (Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    empty = (F.col("l_quantity") < 3).cast("long")
+    return (li.select("l_orderkey", "l_linenumber", "l_quantity",
+                      empty.alias("is_empty"))
+            .withColumn("n_removed", F.sum("is_empty").over(w))
+            .filter(F.col("is_empty") == 0)
+            .select("l_orderkey", "l_linenumber",
+                    (F.col("l_linenumber") - 1 - F.col("n_removed"))
+                    .cast("long").alias("new_num")))
+
+
+ORACLE_CUMSUM_RENUMBER = """
+SELECT l_orderkey, l_linenumber,
+       l_linenumber - 1 - n_removed AS new_num
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity < 3 AS BIGINT) AS is_empty,
+         sum(CAST(l_quantity < 3 AS BIGINT)) OVER (
+             PARTITION BY l_orderkey ORDER BY l_linenumber
+             ROWS UNBOUNDED PRECEDING) AS n_removed
+  FROM lineitem
+) WHERE is_empty = 0
+"""
+
+
+def q_header_prefix_run(spark, sf_dir):
+    """Maximal prefix run detection (align_headers header-row run,
+    src/postprocess.py:519-530): per order, length of the leading run of
+    'flagged' lines (l_returnflag = 'N') in line order."""
+    li = load(spark, sf_dir, "lineitem")
+    flagged = F.when(F.col("l_returnflag") == "N", 1).otherwise(0)
+    first_gap = F.min(
+        F.when(F.col("flag") == 0, F.col("rn"))).alias("first_gap")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (li.select("l_orderkey", "l_linenumber", flagged.alias("flag"))
+            .withColumn("rn", F.row_number().over(w))
+            .groupBy("l_orderkey")
+            .agg(first_gap, F.count(F.lit(1)).alias("n_lines"))
+            .select("l_orderkey",
+                    F.coalesce(F.col("first_gap") - 1, F.col("n_lines"))
+                    .cast("long").alias("prefix_len")))
+
+
+ORACLE_HEADER_PREFIX_RUN = """
+SELECT l_orderkey,
+       coalesce(min(CASE WHEN flag = 0 THEN rn END) - 1, count(*)) AS prefix_len
+FROM (
+  SELECT l_orderkey,
+         CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS flag,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+  FROM lineitem
+)
+GROUP BY l_orderkey
+"""
+
+
+def q_midpoint_dilation(spark, sf_dir):
+    """Neighbor-midpoint boundary dilation (row/col dilation,
+    scripts/process_pubmed.py:1762-1789): midpoint between consecutive
+    per-user event values in time order."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return (events.select("user_id", "event_id", "value",
+                          F.round((F.col("value") + prev) / 2, 6)
+                          .alias("boundary_mid"))
+            .filter(F.col("boundary_mid").isNotNull()))
+
+
+ORACLE_MIDPOINT_DILATION = """
+SELECT user_id, event_id, value, boundary_mid FROM (
+  SELECT user_id, event_id, value,
+         round((value + lag(value) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)) / 2, 6)
+         AS boundary_mid
+  FROM events
+) WHERE boundary_mid IS NOT NULL
+"""
+
+
+def q_grid_pivot_export(spark, sf_dir):
+    """Grid→table pivot (cells_to_csv, src/inference.py:512-538): order
+    lines pivoted to columns via conditional aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = [F.max(F.when(F.col("l_linenumber") == i,
+                         F.col("l_quantity"))).alias(f"line{i}")
+            for i in range(1, 8)]
+    return (li.groupBy("l_orderkey").agg(*aggs).orderBy("l_orderkey"))
+
+
+ORACLE_GRID_PIVOT_EXPORT = """
+SELECT l_orderkey,
+       max(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS line1,
+       max(CASE WHEN l_linenumber = 2 THEN l_quantity END) AS line2,
+       max(CASE WHEN l_linenumber = 3 THEN l_quantity END) AS line3,
+       max(CASE WHEN l_linenumber = 4 THEN l_quantity END) AS line4,
+       max(CASE WHEN l_linenumber = 5 THEN l_quantity END) AS line5,
+       max(CASE WHEN l_linenumber = 6 THEN l_quantity END) AS line6,
+       max(CASE WHEN l_linenumber = 7 THEN l_quantity END) AS line7
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+
+def q_multiset_intersection_fscore(spark, sf_dir):
+    """DAR multiset-intersection F-score (dar_con, src/eval.py:225-243):
+    'true' = even event ids, 'pred' = odd; tp = Σ least(n_true, n_pred)
+    per (event_type, value-bucket) key."""
+    events = load(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_type",
+        F.floor(F.col("value") / 10).cast("long").alias("bucket"),
+        (F.col("event_id") % 2 == 0).alias("is_true"))
+    counts = (keyed.groupBy("event_type", "bucket")
+              .agg(F.sum(F.col("is_true").cast("long")).alias("n_true"),
+                   F.sum((~F.col("is_true")).cast("long")).alias("n_pred")))
+    return counts.agg(
+        F.sum(F.least("n_true", "n_pred")).alias("tp"),
+        F.sum("n_true").alias("n_true_total"),
+        F.sum("n_pred").alias("n_pred_total"))
+
+
+ORACLE_MULTISET_INTERSECTION_FSCORE = """
+SELECT sum(least(n_true, n_pred)) AS tp,
+       sum(n_true) AS n_true_total,
+       sum(n_pred) AS n_pred_total
+FROM (
+  SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
+         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_true,
+         sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_pred
+  FROM events
+  GROUP BY event_type, CAST(floor(value / 10) AS BIGINT)
+)
+"""
+
+
+def q_metrics_summary_rollup(spark, sf_dir):
+    """simple/complex/all metric rollup (compute_metrics_summary,
+    src/eval.py:394-423)."""
+    li = load(spark, sf_dir, "lineitem")
+    sliced = li.select(
+        F.when(F.col("l_quantity") <= 25, "simple").otherwise("complex")
+        .alias("slice"),
+        "l_extendedprice")
+    per_slice = (sliced.groupBy("slice")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.round(F.avg("l_extendedprice"), 2).alias("avg_price")))
+    overall = (sliced.groupBy(F.lit("all").alias("slice"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.round(F.avg("l_extendedprice"), 2).alias("avg_price")))
+    return per_slice.unionByName(overall).orderBy("slice")
+
+
+ORACLE_METRICS_SUMMARY_ROLLUP = """
+WITH sliced AS (
+  SELECT CASE WHEN l_quantity <= 25 THEN 'simple' ELSE 'complex' END AS slice,
+         l_extendedprice
+  FROM lineitem
+)
+SELECT slice, count(*) AS n, round(avg(l_extendedprice), 2) AS avg_price
+FROM sliced GROUP BY slice
+UNION ALL
+SELECT 'all' AS slice, count(*) AS n, round(avg(l_extendedprice), 2) AS avg_price
+FROM sliced
+ORDER BY slice
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-stream analytics (batch form of the streaming operators)
+# ---------------------------------------------------------------------------
+
+def q_windowed_event_counts(spark, sf_dir):
+    """Tumbling 5-minute windowed aggregation (batch oracle of the
+    Structured-Streaming path)."""
+    events = load(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / 300).cast("long")
+    return (events.groupBy(bucket.alias("win5m"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .orderBy("win5m", "event_type"))
+
+
+ORACLE_WINDOWED_EVENT_COUNTS = """
+SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS win5m, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY win5m, event_type
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (Window lag + cumsum): sessions split at
+    >30-minute gaps; one row per user with session count."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (events.withColumn("new_s", new_session)
+            .groupBy("user_id")
+            .agg(F.sum("new_s").cast("long").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+ORACLE_SESSIONIZE_EVENTS = """
+SELECT user_id,
+       sum(new_s) AS n_sessions,
+       count(*) AS n_events
+FROM (
+  SELECT user_id,
+         -- floor(epoch) matches Spark's whole-second unix_timestamp
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text-analysis (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    from .operators.dedup import exact_dedup_groups
+    return exact_dedup_groups(load(spark, sf_dir, "documents"),
+                              "doc_id", "text")
+
+
+ORACLE_EXACT_DEDUP = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_minhash_band_buckets(spark, sf_dir):
+    from .operators.dedup import minhash_band_buckets
+    return minhash_band_buckets(load(spark, sf_dir, "documents"),
+                                "doc_id", "text")
+
+
+ORACLE_MINHASH_BAND_BUCKETS = """
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+sigs AS (
+  SELECT doc,
+         min(md5('mh0:' || tok)) AS mh0, min(md5('mh1:' || tok)) AS mh1,
+         min(md5('mh2:' || tok)) AS mh2, min(md5('mh3:' || tok)) AS mh3
+  FROM toks GROUP BY doc
+)
+SELECT mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 AS band_key,
+       count(*) AS n_docs, min(doc) AS canonical_id
+FROM sigs GROUP BY 1
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
+                               "doc_id", "text", "source",
+                               n=2, min_intersection=3)
+
+
+ORACLE_NGRAM_JACCARD_PAIRS = """
+WITH shingled AS (
+  SELECT doc_id AS doc, source AS block,
+         list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS grams
+  FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+        FROM documents)
+  WHERE len(w) >= 2
+),
+sizes AS (SELECT doc, len(grams) AS n_grams FROM shingled),
+exploded AS (SELECT doc, block, unnest(grams) AS gram FROM shingled),
+pairs AS (
+  SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS n_common
+  FROM exploded a JOIN exploded b
+    ON a.block = b.block AND a.gram = b.gram AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+  HAVING count(*) >= 3
+)
+SELECT doc1, doc2, n_common,
+       s1.n_grams + s2.n_grams - n_common AS n_union,
+       CAST(n_common * 2 >= s1.n_grams + s2.n_grams - n_common AS INT)
+         AS is_neardup
+FROM pairs
+JOIN sizes s1 ON s1.doc = doc1
+JOIN sizes s2 ON s2.doc = doc2
+"""
+
+
+def q_simhash_neardup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs — pandas-UDF signature + bit_count XOR
+    Hamming join.  Not SQL-expressible with a portable hash → rows-only
+    driver check (no oracle entry)."""
+    from .operators.dedup import simhash_neardup_pairs
+    return simhash_neardup_pairs(load(spark, sf_dir, "documents"),
+                                 "doc_id", "text", "source",
+                                 max_hamming=16)
+
+
+def q_cosine_topk_bruteforce(spark, sf_dir):
+    from .operators.similarity import brute_force_topk
+    return brute_force_topk(load(spark, sf_dir, "embeddings"),
+                            "vec_id", "embedding", k=3)
+
+
+ORACLE_COSINE_TOPK_BRUTEFORCE = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+              * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+         AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, rank, round(cos, 6) AS cos
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_cosine_topk_lsh(spark, sf_dir):
+    from .operators.similarity import lsh_bucketed_topk
+    return lsh_bucketed_topk(load(spark, sf_dir, "embeddings"),
+                             "vec_id", "embedding", k=1)
+
+
+ORACLE_COSINE_TOPK_LSH = """
+WITH keyed AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1]  >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[8]  >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[20] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[32] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[44] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[58] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+              * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+         AS cos
+  FROM keyed a JOIN keyed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, rank, round(cos, 6) AS cos
+FROM ranked WHERE rank <= 1
+"""
+
+
+def q_token_count(spark, sf_dir):
+    from .operators.text_analysis import token_count_expr
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(F.col("doc_id").alias("doc"),
+                       token_count_expr(F.col("text")).cast("long")
+                       .alias("n_tokens"))
+
+
+ORACLE_TOKEN_COUNT = """
+SELECT doc_id AS doc,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_features(spark, sf_dir):
+    from .operators.text_analysis import quality_features
+    docs = load(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim("text"), r"\s+")) > 0)
+    return quality_features(docs, "doc_id", "text")
+
+
+ORACLE_QUALITY_FEATURES = r"""
+SELECT doc_id AS doc,
+       len(string_split_regex(trim(text), '\s+')) AS n_words,
+       length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+       CAST(floor(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 100
+            / len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         AS mean_wlen_x100,
+       CAST(len(string_split_regex(trim(text), '\s+')) < 20 AS INT) AS is_short
+FROM documents
+WHERE len(string_split_regex(trim(text), '\s+')) > 0
+"""
+
+
+def q_lang_signal(spark, sf_dir):
+    from .operators.text_analysis import lang_signal
+    docs = load(spark, sf_dir, "documents").filter(
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")) > 0)
+    return lang_signal(docs, "doc_id", "text")
+
+
+ORACLE_LANG_SIGNAL = """
+WITH feats AS (
+  SELECT doc_id AS doc,
+         length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS n_vowel,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha
+  FROM documents
+)
+SELECT doc,
+       CAST(floor(n_vowel * 1000 / n_alpha) AS BIGINT) AS vowel_permille,
+       CASE WHEN floor(n_vowel * 1000 / n_alpha) >= 380 THEN 'vowel-heavy'
+            WHEN floor(n_vowel * 1000 / n_alpha) >= 300 THEN 'latin-like'
+            ELSE 'consonant-heavy' END AS lang_class
+FROM feats WHERE n_alpha > 0
+"""
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    from .operators.text_analysis import fingerprints
+    return fingerprints(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_DOC_FINGERPRINTS = r"""
+SELECT doc_id AS doc,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+       length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_chars_norm
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "lineitem_pricing_rollup": q_lineitem_pricing_rollup,
+    "revenue_by_nation": q_revenue_by_nation,
+    "class_threshold_filter": q_class_threshold_filter,
+    "iob_containment_join": q_iob_containment_join,
+    "argmax_slot_assignment": q_argmax_slot_assignment,
+    "top1_per_group": q_top1_per_group,
+    "cumsum_renumber": q_cumsum_renumber,
+    "header_prefix_run": q_header_prefix_run,
+    "midpoint_dilation": q_midpoint_dilation,
+    "grid_pivot_export": q_grid_pivot_export,
+    "multiset_intersection_fscore": q_multiset_intersection_fscore,
+    "metrics_summary_rollup": q_metrics_summary_rollup,
+    "windowed_event_counts": q_windowed_event_counts,
+    "sessionize_events": q_sessionize_events,
+    "exact_dedup": q_exact_dedup,
+    "minhash_band_buckets": q_minhash_band_buckets,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "cosine_topk_bruteforce": q_cosine_topk_bruteforce,
+    "cosine_topk_lsh": q_cosine_topk_lsh,
+    "token_count": q_token_count,
+    "quality_features": q_quality_features,
+    "lang_signal": q_lang_signal,
+    "doc_fingerprints": q_doc_fingerprints,
+}
+
+ORACLES = {
+    "lineitem_pricing_rollup": ORACLE_LINEITEM_PRICING_ROLLUP,
+    "revenue_by_nation": ORACLE_REVENUE_BY_NATION,
+    "class_threshold_filter": ORACLE_CLASS_THRESHOLD_FILTER,
+    "iob_containment_join": ORACLE_IOB_CONTAINMENT_JOIN,
+    "argmax_slot_assignment": ORACLE_ARGMAX_SLOT_ASSIGNMENT,
+    "top1_per_group": ORACLE_TOP1_PER_GROUP,
+    "cumsum_renumber": ORACLE_CUMSUM_RENUMBER,
+    "header_prefix_run": ORACLE_HEADER_PREFIX_RUN,
+    "midpoint_dilation": ORACLE_MIDPOINT_DILATION,
+    "grid_pivot_export": ORACLE_GRID_PIVOT_EXPORT,
+    "multiset_intersection_fscore": ORACLE_MULTISET_INTERSECTION_FSCORE,
+    "metrics_summary_rollup": ORACLE_METRICS_SUMMARY_ROLLUP,
+    "windowed_event_counts": ORACLE_WINDOWED_EVENT_COUNTS,
+    "sessionize_events": ORACLE_SESSIONIZE_EVENTS,
+    "exact_dedup": ORACLE_EXACT_DEDUP,
+    "minhash_band_buckets": ORACLE_MINHASH_BAND_BUCKETS,
+    "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
+    # simhash_neardup_pairs: deliberately no oracle (non-portable hash)
+    "cosine_topk_bruteforce": ORACLE_COSINE_TOPK_BRUTEFORCE,
+    "cosine_topk_lsh": ORACLE_COSINE_TOPK_LSH,
+    "token_count": ORACLE_TOKEN_COUNT,
+    "quality_features": ORACLE_QUALITY_FEATURES,
+    "lang_signal": ORACLE_LANG_SIGNAL,
+    "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
+}

@@ -1,0 +1,93 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* **brute-force cosine top-k** — exact baseline: pairwise join +
+  higher-order-function dot product, all JVM-side (``zip_with`` +
+  ``aggregate``), ranked with one window.  Quadratic: fine for probe
+  sets, not the 10^12 path.
+* **LSH-bucketed top-k** — the scale path: sign-bit bucketing on fixed
+  dimensions (a portable random-hyperplane degenerate), candidates only
+  join within a bucket.  Bucket count grows exponentially with bits, so
+  the per-bucket quadratic stays bounded; at real scale the same plan
+  shape works with learned/seeded hyperplanes broadcast to executors.
+
+All arithmetic is cast to double *before* multiplication so any SQL
+oracle (DuckDB) reproduces the floats bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "cosine_expr",
+    "brute_force_topk",
+    "lsh_bucket_key",
+    "lsh_bucketed_topk",
+]
+
+DEFAULT_SIGN_DIMS = (0, 7, 19, 31, 43, 57)
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def cosine_expr(v1: Column, v2: Column) -> Column:
+    """Cosine similarity of two array<float> columns, computed in double
+    with left-to-right summation (portable across engines)."""
+    a, b = _as_double(v1), _as_double(v2)
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(a, lambda x: x * x),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(b, lambda x: x * x),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    return dot / F.sqrt(na * nb)
+
+
+def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
+                     k: int = 3) -> DataFrame:
+    """Exact top-k cosine neighbors per vector: (vec_id, neighbor_id,
+    rank, cos — rounded for cross-engine hashing)."""
+    a = df.select(F.col(id_col).alias("vec_id"),
+                  F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).alias("vb"))
+    pairs = (a.join(b, F.col("vec_id") != F.col("neighbor_id"))
+             .withColumn("cos", cosine_expr(F.col("va"), F.col("vb"))))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(),
+                                             F.col("neighbor_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("vec_id", "neighbor_id", "rank",
+                    F.round("cos", 6).alias("cos")))
+
+
+def lsh_bucket_key(vec: Column, dims=DEFAULT_SIGN_DIMS) -> Column:
+    """Sign-bit bucket key over fixed embedding dimensions."""
+    bits = [F.when(vec[d] >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for d in dims]
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(df: DataFrame, id_col: str, vec_col: str,
+                      k: int = 1, dims=DEFAULT_SIGN_DIMS) -> DataFrame:
+    """Approximate top-k: candidates restricted to the same sign-bit
+    bucket; same output shape as :func:`brute_force_topk`."""
+    keyed = df.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("vec"),
+                      lsh_bucket_key(F.col(vec_col), dims).alias("bucket"))
+    a = keyed.select(F.col("vec_id"), F.col("vec").alias("va"), "bucket")
+    b = keyed.select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("vec").alias("vb"),
+                     F.col("bucket").alias("bucket_b"))
+    pairs = (a.join(b, (F.col("bucket") == F.col("bucket_b"))
+                    & (F.col("vec_id") != F.col("neighbor_id")))
+             .withColumn("cos", cosine_expr(F.col("va"), F.col("vb"))))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(),
+                                             F.col("neighbor_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("vec_id", "neighbor_id", "rank",
+                    F.round("cos", 6).alias("cos")))

@@ -1,0 +1,65 @@
+"""Text analysis operators for corpus quality pipelines.
+
+All pure column algebra (JVM-side): token counting with a BPE-ish
+regex, language-signal heuristics, quality scoring with exact integer
+features, and document fingerprinting.  Each has a 1:1 ANSI-SQL twin,
+so the whole family is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count_expr",
+    "quality_features",
+    "lang_signal",
+    "fingerprints",
+]
+
+TOKEN_PATTERN = "[a-z]+|[0-9]+"
+
+
+def token_count_expr(text: Column) -> Column:
+    """Number of BPE-ish tokens (letter runs / digit runs)."""
+    return F.size(F.expr(
+        f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)"))
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-integer quality features per document: word count, alpha
+    char count, mean word length ×100 (floored), short-doc flag."""
+    text = F.col(text_col)
+    n_words = F.size(F.split(F.trim(text), r"\s+"))
+    n_alpha = F.length(F.regexp_replace(F.lower(text), "[^a-z]", ""))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n_words.cast("long").alias("n_words"),
+        n_alpha.cast("long").alias("n_alpha"),
+        F.floor(n_alpha * 100 / n_words).cast("long").alias("mean_wlen_x100"),
+        (n_words < 20).cast("int").alias("is_short"))
+
+
+def lang_signal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-distribution language signal: vowel percentage (integer
+    basis points) and a coarse class — the n-gram-heuristic shape of a
+    language-ID stage."""
+    text = F.lower(F.col(text_col))
+    n_vowel = F.length(F.regexp_replace(text, "[^aeiou]", ""))
+    n_alpha = F.length(F.regexp_replace(text, "[^a-z]", ""))
+    pct = F.floor(n_vowel * 1000 / n_alpha).cast("long")
+    return df.select(
+        F.col(id_col).alias("doc"),
+        pct.alias("vowel_permille"),
+        F.when(pct >= 380, "vowel-heavy")
+        .when(pct >= 300, "latin-like")
+        .otherwise("consonant-heavy").alias("lang_class"))
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stable normalized content fingerprint per document."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(F.col(id_col).alias("doc"),
+                     F.md5(norm).alias("fp"),
+                     F.length(norm).cast("long").alias("n_chars_norm"))
