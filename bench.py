@@ -22,7 +22,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-EXTRACT_DOCS = int(os.environ.get("BENCH_EXTRACT_DOCS", "400"))
+EXTRACT_DOCS = int(os.environ.get("BENCH_EXTRACT_DOCS", "2000"))
 
 # headline operator queries (subset of the full catalog: one per family)
 BENCH_QUERIES = [
@@ -61,6 +61,14 @@ def main() -> None:
 
     spark = get_spark(app_name="ttspark-bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the Python worker pool + JIT before measuring (one tiny
+    # mapInPandas job so per-task interpreter startup isn't billed to
+    # the first measured query)
+    t0 = time.perf_counter()
+    _run(documents_df(spark, 2 * CPUS))
+    print(f"[bench] warmup: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -560,7 +560,7 @@ ranked AS (
                             ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM pairs
 )
-SELECT vec_id, neighbor_id, rank, round(cos, 6) AS cos
+SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
 FROM ranked WHERE rank <= 3
 """
 
@@ -597,7 +597,7 @@ ranked AS (
                             ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM pairs
 )
-SELECT vec_id, neighbor_id, rank, round(cos, 6) AS cos
+SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
 FROM ranked WHERE rank <= 1
 """
 

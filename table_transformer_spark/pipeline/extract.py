@@ -38,11 +38,20 @@ def media_spans(documents: DataFrame) -> DataFrame:
 
 
 def run_cells(documents: DataFrame, media: DataFrame,
-              mode: str = "clean") -> DataFrame:
-    """documents × media → one row per extracted cell (CELL_SCHEMA)."""
+              mode: str = "clean", fused: bool = True) -> DataFrame:
+    """documents × media → one row per extracted cell (CELL_SCHEMA).
+
+    ``fused=True`` (default, the scale path) runs decode→detect→crop→
+    recognize→cells as one Arrow pass per page; ``fused=False`` runs the
+    staged operator-algebra pipeline.  Both produce identical rows
+    (pytest-enforced).
+    """
     pages = (media_spans(documents)
              .join(media.select("media_ref", "payload"), "media_ref")
              .select("doc_id", "media_ref", "page_offset", "payload"))
+    if fused:
+        from .fused import run_cells_fused
+        return run_cells_fused(pages, mode=mode)
     decoded = decode_and_detect(pages)
     crops = crop_tables(decoded)
     recognized = recognize_structure(crops, mode=mode)
@@ -82,7 +91,7 @@ def assemble_spans(documents: DataFrame, cells: DataFrame) -> DataFrame:
 
 
 def extract(documents: DataFrame, media: DataFrame,
-            mode: str = "clean") -> DataFrame:
+            mode: str = "clean", fused: bool = True) -> DataFrame:
     """The flagship query: OUTPUT_SPANS_SCHEMA rows, one per output span."""
-    cells = run_cells(documents, media, mode=mode)
+    cells = run_cells(documents, media, mode=mode, fused=fused)
     return assemble_spans(documents, cells)

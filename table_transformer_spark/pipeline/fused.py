@@ -1,0 +1,120 @@
+"""Fused per-page extraction stage: payload → cell rows in ONE
+Arrow-batched pass.
+
+The staged pipeline (``stages.py``) demonstrates the operator algebra —
+decode / detect / crop / recognize / cells as separate DataFrame
+transforms.  At scale, those per-page-local steps pay three extra
+Python↔JVM Arrow boundaries for data (token arrays, object arrays) that
+never leaves the page row.  This fused stage performs the identical
+operations (same functions, same order, same semantics — equality is
+pytest-enforced against the staged path) inside a single
+``mapInPandas``, so a page is touched exactly once per executor:
+
+    pages(payload) ──mapInPandas──▶ cells            [zero shuffle]
+
+At 10^12 docs this is the plan you want: the only shuffles in the whole
+job are the documents×media join and the final per-doc reassembly
+window.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ..config import (
+    DEFAULT_CROP_PADDING,
+    DETECTION_CLASS_THRESHOLDS,
+    STRUCTURE_CLASS_THRESHOLDS,
+)
+from ..geometry import iob
+from ..kernels.structure import objects_to_cells
+from . import schemas
+from .stages import _decode_payload
+
+
+def make_fused_page_fn(mode: str = "clean",
+                       padding: int = DEFAULT_CROP_PADDING):
+    """Factory: (doc_id, media_ref, page_offset, payload) batches →
+    CELL_SCHEMA batches.  Same operation order as the staged path:
+    detect-threshold → crop/pad → token containment-assign + rebase →
+    structure inference (stub) → objects_to_cells kernel → (min row,
+    min col) cell ordering."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # <-- detection + structure models would be loaded once here -->
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "media_ref", "page_offset",
+                                   "table_num", "cell_num", "bbox",
+                                   "row_nums", "column_nums",
+                                   "is_column_header",
+                                   "is_projected_row_header", "cell_text",
+                                   "confidence")}
+            for doc_id, media_ref, page_offset, payload in zip(
+                    pdf["doc_id"], pdf["media_ref"], pdf["page_offset"],
+                    pdf["payload"]):
+                page = _decode_payload(payload)
+                for table_num, det in enumerate(page["detections"]):
+                    if det["score"] < DETECTION_CLASS_THRESHOLDS[det["label"]]:
+                        continue
+                    bb = det["bbox"]
+                    crop = [bb[0] - padding, bb[1] - padding,
+                            bb[2] + padding, bb[3] + padding]
+                    tokens = [
+                        {**t, "bbox": [t["bbox"][0] - crop[0],
+                                       t["bbox"][1] - crop[1],
+                                       t["bbox"][2] - crop[0],
+                                       t["bbox"][3] - crop[1]]}
+                        for t in page["tokens"]
+                        if iob(t["bbox"], crop) >= 0.5]
+                    tbl = page["tables"][table_num]
+                    source = (tbl["design"]["structure"] if mode == "clean"
+                              else tbl["structure_noisy"])
+                    objects = [
+                        {"label": o["label"], "score": float(o["score"]),
+                         "bbox": [o["bbox"][0] + padding,
+                                  o["bbox"][1] + padding,
+                                  o["bbox"][2] + padding,
+                                  o["bbox"][3] + padding]}
+                        for o in source]
+
+                    table_objs = sorted(
+                        [o for o in objects if o["label"] == "table"],
+                        key=lambda o: -o["score"])
+                    table_bbox = list(table_objs[0]["bbox"]) if table_objs \
+                        else [0.0, 0.0, 1000.0, 1000.0]
+                    in_table = [o for o in objects
+                                if iob(o["bbox"], table_bbox) >= 0.5]
+                    toks = [t for t in tokens
+                            if iob(t["bbox"], table_bbox) >= 0.5]
+                    _, cells, confidence = objects_to_cells(
+                        {"bbox": table_bbox, "page_num": 0}, in_table,
+                        toks, STRUCTURE_CLASS_THRESHOLDS, copy_inputs=False)
+                    cells = sorted(cells, key=lambda c: (min(c["row_nums"]),
+                                                         min(c["column_nums"])))
+                    for i, cell in enumerate(cells):
+                        out["doc_id"].append(doc_id)
+                        out["media_ref"].append(media_ref)
+                        out["page_offset"].append(page_offset)
+                        out["table_num"].append(table_num)
+                        out["cell_num"].append(i)
+                        out["bbox"].append([float(v) for v in cell["bbox"]])
+                        out["row_nums"].append(list(cell["row_nums"]))
+                        out["column_nums"].append(list(cell["column_nums"]))
+                        out["is_column_header"].append(bool(cell["header"]))
+                        out["is_projected_row_header"].append(
+                            bool(cell["subheader"]))
+                        out["cell_text"].append(cell["cell_text"])
+                        out["confidence"].append(float(confidence))
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def run_cells_fused(pages_with_payload: DataFrame,
+                    mode: str = "clean") -> DataFrame:
+    return pages_with_payload.mapInPandas(make_fused_page_fn(mode=mode),
+                                          schema=schemas.CELL_SCHEMA)

@@ -74,6 +74,25 @@ def test_noisy_mode_matches_local_sequential_kernel(spark, corpus):
         assert got[doc_id] == expected[doc_id], f"mismatch in {doc_id}"
 
 
+def test_fused_equals_staged_pipeline(spark, corpus):
+    """The fused single-pass page stage must produce exactly the rows of
+    the staged operator-algebra pipeline, in both modes."""
+    docs, media = corpus
+    for mode in ("clean", "noisy"):
+        fused = run_cells(docs, media, mode=mode, fused=True)
+        staged = run_cells(docs, media, mode=mode, fused=False)
+
+        def key(r):
+            return (r.doc_id, r.media_ref, r.page_offset, r.table_num,
+                    r.cell_num, tuple(round(v, 6) for v in r.bbox),
+                    tuple(r.row_nums), tuple(r.column_nums),
+                    r.is_column_header, r.is_projected_row_header,
+                    r.cell_text, round(r.confidence, 9))
+
+        assert sorted(map(key, fused.collect())) == \
+            sorted(map(key, staged.collect())), f"mode={mode}"
+
+
 def test_cell_rows_carry_confidence_and_grid(spark, corpus):
     docs, media = corpus
     cells = run_cells(docs, media, mode="clean")
