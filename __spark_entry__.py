@@ -54,6 +54,24 @@ def _extraction_query(mode: str):
     return run
 
 
+def _grits_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed GriTS (Top/Loc/Con + DAR) of the noisy pipeline vs
+    the clean pipeline, rolled up over simple/complex/all slices.
+    Not SQL-expressible (DP alignment kernels) → rows-only check."""
+    from table_transformer_spark.eval.grits_distributed import (
+        grits_summary,
+        grits_table_metrics,
+    )
+    from table_transformer_spark.fixtures.spark_io import documents_df, media_df
+    from table_transformer_spark.pipeline.extract import run_cells
+
+    docs = documents_df(spark, _ENTRY_DOCS)
+    media = media_df(spark, _ENTRY_DOCS)
+    true_cells = run_cells(docs, media, mode="clean")
+    pred_cells = run_cells(docs, media, mode="noisy")
+    return grits_summary(grits_table_metrics(true_cells, pred_cells))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Operator inventory: every SQL-expressible operator from
     SURVEY.md §2 paired with a DuckDB oracle, plus the non-SQL
@@ -61,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = dict(QUERIES)
     out["extract_spans_clean"] = _extraction_query("clean")
     out["extract_spans_noisy"] = _extraction_query("noisy")
+    out["grits_summary_noisy_vs_clean"] = _grits_query
     return out
 
 
