@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Cluster-size scaling proxy: the identical spark-submit job at
+local[N] and local[4N] on identical input (the sandbox stand-in for N
+vs 4N executors mandated by the driver).
+
+Packages the library as a zip, submits ``scripts/run_extraction.py``
+via ``spark-submit --py-files`` at both parallelism levels, and reports
+throughput at each plus scaling efficiency
+    eff = (throughput_4N / throughput_N) / 4.
+
+Writes BENCH_SCALING.json at the repo root and prints it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DOCS = int(os.environ.get("SCALING_DOCS", "24000"))
+N_LOW = int(os.environ.get("SCALING_N", "8"))
+N_HIGH = 4 * N_LOW
+
+
+def build_zip(tmp: str) -> str:
+    zpath = os.path.join(tmp, "ttspark.zip")
+    pkg = os.path.join(REPO, "table_transformer_spark")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def submit(cores: int, zpath: str, out_dir: str) -> dict:
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        "--py-files", zpath,
+        os.path.join(REPO, "scripts", "run_extraction.py"),
+        "--docs", str(DOCS),
+        "--out", out_dir,
+        "--buckets", "8",
+        "--buckets-per-job", "8",
+        "--shuffle-partitions", str(max(cores, 8)),
+    ]
+    print("[scaling]", " ".join(cmd), file=sys.stderr)
+    res = subprocess.run(cmd, capture_output=True, text=True, check=False)
+    if res.returncode != 0:
+        print(res.stdout[-4000:], file=sys.stderr)
+        print(res.stderr[-4000:], file=sys.stderr)
+        raise SystemExit(f"spark-submit local[{cores}] failed")
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    tmp = tempfile.mkdtemp(prefix="ttspark_scaling_")
+    try:
+        zpath = build_zip(tmp)
+        low = submit(N_LOW, zpath, os.path.join(tmp, f"out{N_LOW}"))
+        high = submit(N_HIGH, zpath, os.path.join(tmp, f"out{N_HIGH}"))
+        assert low["n_spans"] == high["n_spans"], \
+            "outputs differ across parallelism levels"
+        eff = (high["docs_per_sec"] / low["docs_per_sec"]) / (N_HIGH / N_LOW)
+        result = {
+            "metric": "scaling_efficiency",
+            "docs": DOCS,
+            "low": {"cores": N_LOW, "wall_sec": low["wall_sec"],
+                    "docs_per_sec": low["docs_per_sec"]},
+            "high": {"cores": N_HIGH, "wall_sec": high["wall_sec"],
+                     "docs_per_sec": high["docs_per_sec"]},
+            "speedup": round(high["docs_per_sec"] / low["docs_per_sec"], 3),
+            "efficiency": round(eff, 3),
+            "n_spans": low["n_spans"],
+        }
+        with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+            f.write(json.dumps(result) + "\n")
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

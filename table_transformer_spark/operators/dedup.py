@@ -21,9 +21,9 @@ shingle hash (uniform); banding keeps candidate sets tiny; blocks bound
 the quadratic step.
 """
 
-from __future__ import annotations
-
-from typing import Iterator
+# NOTE: no `from __future__ import annotations` here — stringified type
+# hints would stop pandas_udf from inferring the eval type of
+# simhash_udf.
 
 import numpy as np
 import pandas as pd
