@@ -1,0 +1,488 @@
+"""Corpus-construction canonicalization kernels (FinTabNet ETL family).
+
+Faithful re-expressions of the reference's annotation-cleanup operators
+(``scripts/process_fintabnet.py``), the source of PubTables-1M's
+canonical cell semantics.  A *table dict* here is::
+
+    {"cells":   [{row_nums, column_nums, text, is_column_header,
+                  is_projected_row_header, bbox}],
+     "rows":    {row_num: {"is_column_header": bool, ...}},
+     "columns": {col_num: {}},
+     "reject":  [str], "fix": [str]}
+
+(The reference's ``json_text_content`` is ``text`` here;
+``pdf_text_tight_bbox`` is ``bbox``.)  ``reject``/``fix`` accumulate
+provenance exactly like the reference and feed the status table.
+
+On the Spark side these run per table inside ``applyInPandas``
+(:func:`canonicalize_cells_df`); the cumulative-renumbering step also
+has an oracle-checked DataFrame twin (``cumsum_renumber`` in
+driver_queries).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from ..geometry import Box
+
+__all__ = [
+    "identify_projected_row_headers",
+    "annotate_projected_row_headers",
+    "merge_group",
+    "remove_empty_rows",
+    "remove_empty_columns",
+    "merge_rows",
+    "merge_columns",
+    "merge_spanning_cells_in_first_column",
+    "correct_header",
+    "canonicalize",
+]
+
+
+def identify_projected_row_headers(table):
+    """Rows that are projected row headers: not a header row, exactly one
+    filled cell, all cells single-row, first column filled
+    (``scripts/process_fintabnet.py:245-269``)."""
+    filled_count = defaultdict(int)
+    single_row_only = defaultdict(lambda: True)
+    first_col_filled = defaultdict(bool)
+    for cell in table["cells"]:
+        if cell["text"]:
+            for r in cell["row_nums"]:
+                filled_count[r] += 1
+            if 0 in cell["column_nums"]:
+                for r in cell["row_nums"]:
+                    first_col_filled[r] = True
+        one_row = len(cell["row_nums"]) == 1
+        for r in cell["row_nums"]:
+            single_row_only[r] = single_row_only[r] and one_row
+
+    return {r for r, row in table["rows"].items()
+            if (not row.get("is_column_header")
+                and filled_count[r] == 1
+                and single_row_only[r]
+                and first_col_filled[r])}
+
+
+def annotate_projected_row_headers(table):
+    """Expand PRH cells to full width, absorb their blank siblings, and
+    drop trailing PRH rows (``scripts/process_fintabnet.py:271-311``)."""
+    num_cols = len(table["columns"])
+    prh_rows = identify_projected_row_headers(table)
+
+    doomed = []
+    for cell in table["cells"]:
+        if set(cell["row_nums"]) & prh_rows:
+            if cell["text"]:
+                cell["column_nums"] = list(range(num_cols))
+                cell["is_projected_row_header"] = True
+            else:
+                doomed.append(cell)
+        else:
+            cell["is_projected_row_header"] = False
+    for cell in doomed:
+        table["fix"].append("merged projected row header")
+        table["cells"].remove(cell)
+
+    for r, row in table["rows"].items():
+        row["is_projected_row_header"] = r in prh_rows
+
+    # trailing PRH rows are dropped entirely
+    num_rows = len(table["rows"])
+    to_delete = []
+    for r in range(num_rows - 1, -1, -1):
+        if table["rows"][r].get("is_projected_row_header"):
+            to_delete.append(r)
+        else:
+            break
+    for r in to_delete:
+        del table["rows"][r]
+        table["fix"].append("removed projected row header at bottom of table")
+        for cell in table["cells"][:]:
+            if r in cell["row_nums"]:
+                table["cells"].remove(cell)
+
+
+def merge_group(table, group):
+    """Merge a group of cells into its top cell: union grid coverage,
+    concatenate text, hull bboxes (``scripts/process_fintabnet.py:
+    314-345``)."""
+    if len(group) == 1:
+        return
+    group = sorted(group, key=lambda c: min(c["row_nums"]))
+    head = group[0]
+    hull = Box(head["bbox"]) if head.get("bbox") else Box()
+    doomed = []
+    for other in group[1:]:
+        head["row_nums"] = sorted(set(head["row_nums"] + other["row_nums"]))
+        head["column_nums"] = sorted(set(head["column_nums"]
+                                         + other["column_nums"]))
+        head["text"] = (head["text"].strip() + " "
+                        + other["text"].strip()).strip()
+        if other.get("bbox"):
+            hull.include_rect(other["bbox"])
+        head["bbox"] = [] if hull.get_area() == 0 else hull.tolist()
+        head["is_projected_row_header"] = False
+        doomed.append(other)
+    try:
+        for cell in doomed:
+            table["cells"].remove(cell)
+            table["fix"].append("merged oversegmented spanning cell")
+    except ValueError:
+        table["reject"].append("ambiguous spanning cell")
+
+
+def _remove_empty_axis(table, axis):
+    """Shared body of remove_empty_rows/columns: drop content-free
+    rows/columns and densely renumber via cumulative corrections
+    (``scripts/process_fintabnet.py:348-377,409-438``)."""
+    nums_key = "row_nums" if axis == "rows" else "column_nums"
+    n = len(table[axis])
+    has_content = defaultdict(bool)
+    for cell in table["cells"]:
+        filled = len(cell["text"].strip()) > 0
+        for k in cell[nums_key]:
+            has_content[k] = has_content[k] or filled
+
+    corrections = []
+    total = 0
+    for k in range(n):
+        total += int(not has_content[k])
+        corrections.append(total)
+
+    doomed = []
+    for cell in table["cells"]:
+        cell[nums_key] = [k - corrections[k] for k in cell[nums_key]
+                          if has_content[k]]
+        if not cell[nums_key]:
+            doomed.append(cell)
+    label = "removed empty row" if axis == "rows" else "removed empty column"
+    for cell in doomed:
+        table["fix"].append(label)
+        table["cells"].remove(cell)
+
+    table[axis] = {k - corrections[k]: v for k, v in table[axis].items()
+                   if has_content[k]}
+
+
+def remove_empty_rows(table):
+    _remove_empty_axis(table, "rows")
+
+
+def remove_empty_columns(table):
+    _remove_empty_axis(table, "columns")
+
+
+def _merge_adjacent_axis(table, axis):
+    """Merge adjacent rows (columns) that are spanned together by cells
+    in *every* column (row) — co-occurrence weight equals the size of
+    the cross axis (``scripts/process_fintabnet.py:379-406,440-467``)."""
+    nums_key = "row_nums" if axis == "rows" else "column_nums"
+    other_key = "column_nums" if axis == "rows" else "row_nums"
+    cross_size = len(table["columns" if axis == "rows" else "rows"])
+    n = len(table[axis])
+    co = defaultdict(int)
+    for cell in table["cells"]:
+        for a in cell[nums_key]:
+            for b in cell[nums_key]:
+                if a < b:
+                    co[(a, b)] += len(cell[other_key])
+
+    keep = [True]
+    grouping = [0]
+    new_num = 0
+    for k in range(n - 1):
+        if co[(k, k + 1)] == cross_size:
+            label = ("merged rows spanned together in every column"
+                     if axis == "rows"
+                     else "merged columns spanned together in every row")
+            table["fix"].append(label)
+            keep.append(False)
+        else:
+            keep.append(True)
+            new_num += 1
+        grouping.append(new_num)
+
+    for cell in table["cells"]:
+        cell[nums_key] = [grouping[k] for k in cell[nums_key] if keep[k]]
+    table[axis] = {grouping[k]: table[axis][k] for k in range(n) if keep[k]}
+
+
+def merge_rows(table):
+    _merge_adjacent_axis(table, "rows")
+
+
+def merge_columns(table):
+    _merge_adjacent_axis(table, "columns")
+
+
+def merge_spanning_cells_in_first_column(table):
+    """If the second column is alphabetic-dominant, group first-column
+    cells by filled-cell runs and merge blank followers into their
+    filled leader (``scripts/process_fintabnet.py:471-499``)."""
+    numeric = defaultdict(int)
+    alpha = defaultdict(int)
+    for cell in table["cells"]:
+        if cell.get("is_column_header") or cell.get("is_projected_row_header"):
+            continue
+        n_num = sum(ch.isnumeric() for ch in cell["text"])
+        n_alpha = sum(ch.isalpha() for ch in cell["text"])
+        for c in cell["column_nums"]:
+            numeric[c] += n_num
+            alpha[c] += n_alpha
+    if not alpha[1] > numeric[1]:
+        return
+
+    first = sorted((c for c in table["cells"] if 0 in c["column_nums"]),
+                   key=lambda c: max(c["row_nums"]))
+    groups = defaultdict(list)
+    g = -1
+    for cell in first:
+        if cell["text"]:
+            g += 1
+        if g >= 0:
+            groups[g].append(cell)
+    for group in groups.values():
+        if (len(group) > 1 and not group[0].get("is_projected_row_header")
+                and not group[0].get("is_column_header")):
+            merge_group(table, group)
+
+
+def correct_header(table, assume_header_if_more_than_two_columns=True):
+    """Header-existence + header-extension rules
+    (``scripts/process_fintabnet.py:502-661``): five ways a table is
+    known to have a column header, then the last-header-row computation
+    from single-column-cell / blank-run / projected-row-header
+    constraints."""
+    num_cols = len(table["columns"])
+    num_rows = len(table["rows"])
+    if num_cols < 2 or num_rows < 1:
+        table["reject"].append("small table")
+
+    has_header = assume_header_if_more_than_two_columns and num_cols > 2
+    if not has_header:
+        has_header = bool(table["rows"]) and \
+            table["rows"].get(0, {}).get("is_column_header", False)
+    if not has_header:
+        has_header = any(
+            0 in c["column_nums"] and 0 in c["row_nums"]
+            and not c["text"].strip()
+            for c in table["cells"])
+    if not has_header:
+        has_header = any(0 in c["row_nums"] and len(c["column_nums"]) > 1
+                         for c in table["cells"])
+    if not has_header:
+        for cell in table["cells"]:
+            in_row0 = 0 in cell["row_nums"]
+            if in_row0 and 0 in cell["column_nums"] and "Number" in cell["text"]:
+                table["fix"].append("two column header: Number")
+                has_header = True
+                break
+            if in_row0 and 1 in cell["column_nums"] and "Page" in cell["text"]:
+                table["fix"].append("two column header: Page")
+                has_header = True
+                break
+            if in_row0 and "in thousands" in cell["text"].lower():
+                table["fix"].append("two column header: in thousands")
+                has_header = True
+                break
+            if in_row0 and "in millions" in cell["text"].lower():
+                table["fix"].append("two column header: in millions")
+                has_header = True
+                break
+            if in_row0 and "Measurement" in cell["text"]:
+                table["fix"].append("two column header: Measurement")
+                has_header = True
+                break
+            if in_row0 and "Period" in cell["text"]:
+                table["fix"].append("two column header: Period")
+                has_header = True
+                break
+
+    if has_header:
+        first_col_filled = defaultdict(bool)
+        for cell in table["cells"]:
+            if 0 in cell["column_nums"] and cell["text"]:
+                for r in cell["row_nums"]:
+                    first_col_filled[r] = True
+
+        default_last = num_rows - 1
+        first_single = defaultdict(lambda: default_last)
+        first_filled_single = defaultdict(lambda: default_last)
+        first_filled = defaultdict(lambda: default_last)
+        for cell in table["cells"]:
+            if len(cell["column_nums"]) == 1:
+                c = cell["column_nums"][0]
+                first_single[c] = min(first_single[c], max(cell["row_nums"]))
+                if cell["text"].strip():
+                    first_filled_single[c] = min(first_filled_single[c],
+                                                 max(cell["row_nums"]))
+            if cell["text"]:
+                r0 = min(cell["row_nums"])
+                for c in cell["column_nums"]:
+                    first_filled[c] = min(first_filled[c], r0)
+
+        prh_rows = identify_projected_row_headers(table)
+        if 0 in prh_rows:
+            table["reject"].append("bad projected row header")
+
+        min_single_row = max(first_single[c] for c in range(num_cols)) \
+            if num_cols else -1
+        min_first_body = min(num_rows - 1,
+                             max((first_filled[c] for c in range(num_cols)),
+                                 default=num_rows - 1))
+
+        min_all_following = -1
+        for r in range(num_rows):
+            for c1 in range(num_cols - 1):
+                for c2 in range(c1 + 1, num_cols):
+                    if (first_filled_single[c2] > r
+                            and first_filled_single[c1]
+                            < first_filled_single[c2]):
+                        min_all_following = r + 1
+
+        min_prh = min(prh_rows) if prh_rows else num_rows
+        last_header_row = max(min_all_following, min_single_row,
+                              min_first_body - 1)
+        while (last_header_row < num_rows
+               and not first_col_filled[last_header_row + 1]):
+            last_header_row += 1
+        if min_prh <= last_header_row:
+            last_header_row = min_prh - 1
+
+        for cell in table["cells"]:
+            if max(cell["row_nums"]) <= last_header_row:
+                cell["is_column_header"] = True
+        for r, row in table["rows"].items():
+            if r <= last_header_row:
+                row["is_column_header"] = True
+
+    if not has_header and num_cols == 2:
+        import re
+
+        keep = False
+        for cell in table["cells"]:
+            if 0 in cell["row_nums"] and len(cell["text"]) > 60:
+                table["fix"].append("two column no header: long text")
+                keep = True
+                break
+            if (0 in cell["row_nums"] and 1 in cell["column_nums"]
+                    and re.match(r"^[0-9,%\.\$ -]+$", cell["text"])):
+                table["fix"].append("two column no header: numeric")
+                keep = True
+                break
+        if not keep:
+            table["reject"].append("ambiguous header")
+
+
+def _grid_index(table):
+    idx = {}
+    for cell in table["cells"]:
+        for c in cell["column_nums"]:
+            for r in cell["row_nums"]:
+                idx[(r, c)] = cell
+    return idx
+
+
+def canonicalize(table):
+    """Header canonicalization (``scripts/process_fintabnet.py:663-792``):
+    split blank header spanning cells into grid cells; absorb blank
+    header cells upward then downward into filled neighbors; merge
+    same-column header neighbor chains; finally merge first-column
+    spanning-cell runs."""
+    # 1. split blank header spanning cells into blank grid cells
+    doomed = []
+    for cell in table["cells"][:]:
+        if (cell.get("is_column_header") and not cell["text"].strip()
+                and (len(cell["column_nums"]) > 1
+                     or len(cell["row_nums"]) > 1)):
+            doomed.append(cell)
+            for c in cell["column_nums"]:
+                for r in cell["row_nums"]:
+                    table["cells"].append({
+                        "text": "", "column_nums": [c], "row_nums": [r],
+                        "is_column_header": cell["is_column_header"],
+                        "bbox": [], "is_projected_row_header": False})
+    for cell in doomed:
+        table["cells"].remove(cell)
+
+    # 2. bottom-up: filled header cells absorb contiguous blank rows above
+    idx = _grid_index(table)
+    groups = []
+    for cell in table["cells"]:
+        if not cell.get("is_column_header") or not cell["text"]:
+            continue
+        group = [cell]
+        for r in range(min(cell["row_nums"]) - 1, -1, -1):
+            if all(not idx[(r, c)]["text"] for c in cell["column_nums"]):
+                group.extend(idx[(r, c)] for c in cell["column_nums"])
+            else:
+                break  # absorption must be contiguous
+        if len(group) > 1:
+            groups.append(group)
+    for group in groups:
+        merge_group(table, group)
+
+    # 3. top-down: filled header cells absorb contiguous blank header
+    # rows below
+    idx = _grid_index(table)
+    num_rows = len(table["rows"])
+    groups = []
+    for cell in table["cells"]:
+        if not cell.get("is_column_header") or not cell["text"]:
+            continue
+        group = [cell]
+        for r in range(max(cell["row_nums"]) + 1, num_rows):
+            if not table["rows"][r].get("is_column_header"):
+                break
+            if all(not idx[(r, c)]["text"] for c in cell["column_nums"]):
+                group.extend(idx[(r, c)] for c in cell["column_nums"])
+            else:
+                break
+        if len(group) > 1:
+            groups.append(group)
+    for group in groups:
+        merge_group(table, group)
+
+    # 4. top-down: merge neighbor chains occupying identical column sets
+    idx = _grid_index(table)
+    seen = defaultdict(list)
+    groups = []
+    stop = False
+    for r in sorted(table["rows"]):
+        for c in sorted(table["columns"]):
+            cell = idx[(r, c)]
+            if not cell.get("is_column_header"):
+                stop = True
+                break
+            if seen[(r, c)]:
+                continue
+            if not r == min(cell["row_nums"]) and c == min(cell["column_nums"]):
+                continue
+            group = [cell]
+            nxt = max(cell["row_nums"]) + 1
+            while nxt < num_rows:
+                cell2 = idx[(nxt, c)]
+                if (cell2.get("is_column_header")
+                        and set(cell["column_nums"])
+                        == set(cell2["column_nums"])):
+                    group.append(cell2)
+                    for r2 in cell2["row_nums"]:
+                        for c2 in cell2["column_nums"]:
+                            seen[(r2, c2)] = group
+                else:
+                    break
+                nxt = max(cell2["row_nums"]) + 1
+            for r2 in cell["row_nums"]:
+                for c2 in cell["column_nums"]:
+                    seen[(r2, c2)] = group
+            if len(group) > 1:
+                groups.append(group)
+        if stop:
+            break
+    for group in groups:
+        merge_group(table, group)
+
+    # 5. first-column spanning-cell runs
+    merge_spanning_cells_in_first_column(table)

@@ -79,19 +79,34 @@ def run_checkpointed_extraction(spark: SparkSession,
         group = todo[i:i + buckets_per_job]
         t0 = time.perf_counter()
         group_docs = (docs_b.filter(F.col("bucket").isin(group))
-                      .select("doc_id", "spans", "bucket"))
-        spans = extract(group_docs.drop("bucket"), media, mode=mode)
-        spans = spans.join(
-            group_docs.select("doc_id", "bucket"), "doc_id")
-        (spans.write.partitionBy("bucket").mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .parquet(spans_dir))
+                      .select("doc_id", "spans"))
+        spans = extract(group_docs, media, mode=mode)
+        # bucket is a pure function of doc_id — recompute instead of
+        # joining back against the documents lineage
+        spans = spans.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"),
+                             F.lit(n_buckets)).cast("int"))
 
-        # per-bucket lineage + metrics
-        stats = (spans.groupBy("bucket")
-                 .agg(F.countDistinct("doc_id").alias("n_docs"),
-                      F.count(F.lit(1)).alias("n_spans"))
-                 .collect())
+        # one compute pass for the group, then cheap per-bucket writes
+        # with *static* overwrite into bucket=<b>/ directories — dynamic
+        # partition overwrite pays a driver-serial commit (~10s at this
+        # scale) we don't need.  Crash-safety: status rows are written
+        # only after every bucket directory in the group lands, so a
+        # partially-written bucket is always overwritten on resume.
+        spans.persist()
+        try:
+            spans.count()  # materialize once
+            for b in group:
+                (spans.filter(F.col("bucket") == b).drop("bucket")
+                 .write.mode("overwrite").parquet(f"{spans_dir}/bucket={b}"))
+
+            # per-bucket lineage + metrics from the cached group
+            stats = (spans.groupBy("bucket")
+                     .agg(F.countDistinct("doc_id").alias("n_docs"),
+                          F.count(F.lit(1)).alias("n_spans"))
+                     .collect())
+        finally:
+            spans.unpersist()
         by_bucket = {r.bucket: r for r in stats}
         wall = round(time.perf_counter() - t0, 3)
         now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())

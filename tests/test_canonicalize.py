@@ -1,0 +1,185 @@
+"""FinTabNet-family canonicalization kernels (§2.8)."""
+
+import pytest
+
+from table_transformer_spark.kernels.canonicalize import (
+    annotate_projected_row_headers,
+    canonicalize,
+    correct_header,
+    identify_projected_row_headers,
+    merge_columns,
+    merge_group,
+    merge_rows,
+    merge_spanning_cells_in_first_column,
+    remove_empty_columns,
+    remove_empty_rows,
+)
+
+
+def cell(rows, cols, text, header=False, prh=False):
+    return {"row_nums": list(rows), "column_nums": list(cols),
+            "text": text, "is_column_header": header,
+            "is_projected_row_header": prh, "bbox": []}
+
+
+def make_table(cells, n_rows, n_cols, header_rows=()):
+    return {
+        "cells": cells,
+        "rows": {r: {"is_column_header": r in header_rows}
+                 for r in range(n_rows)},
+        "columns": {c: {} for c in range(n_cols)},
+        "reject": [], "fix": [],
+    }
+
+
+def grid_table(texts, header_rows=()):
+    cells = [cell([r], [c], texts[r][c], header=r in header_rows)
+             for r in range(len(texts)) for c in range(len(texts[0]))]
+    return make_table(cells, len(texts), len(texts[0]), header_rows)
+
+
+def test_identify_projected_row_headers():
+    t = grid_table([["H1", "H2"], ["Section", ""], ["a", "1"]],
+                   header_rows=(0,))
+    assert identify_projected_row_headers(t) == {1}
+
+
+def test_annotate_prh_expands_and_absorbs():
+    t = grid_table([["H1", "H2"], ["Section", ""], ["a", "1"]],
+                   header_rows=(0,))
+    annotate_projected_row_headers(t)
+    prh = [c for c in t["cells"] if c["is_projected_row_header"]]
+    assert len(prh) == 1
+    assert prh[0]["column_nums"] == [0, 1]
+    assert "merged projected row header" in t["fix"]
+    # the blank sibling is gone
+    assert not any(c["text"] == "" and 1 in c["row_nums"]
+                   for c in t["cells"])
+
+
+def test_annotate_prh_drops_trailing():
+    t = grid_table([["H1", "H2"], ["a", "1"], ["Trailing", ""]],
+                   header_rows=(0,))
+    annotate_projected_row_headers(t)
+    assert len(t["rows"]) == 2
+    assert not any(2 in c["row_nums"] for c in t["cells"])
+    assert "removed projected row header at bottom of table" in t["fix"]
+
+
+def test_remove_empty_rows_renumbers():
+    t = grid_table([["a", "b"], ["", ""], ["c", "d"]])
+    remove_empty_rows(t)
+    assert sorted(t["rows"]) == [0, 1]
+    rows_used = sorted({r for c in t["cells"] for r in c["row_nums"]})
+    assert rows_used == [0, 1]
+    assert t["fix"].count("removed empty row") == 2  # two blank cells
+
+
+def test_remove_empty_columns_renumbers():
+    t = grid_table([["a", "", "b"], ["c", "", "d"]])
+    remove_empty_columns(t)
+    assert sorted(t["columns"]) == [0, 1]
+    cols_used = sorted({c2 for c in t["cells"] for c2 in c["column_nums"]})
+    assert cols_used == [0, 1]
+
+
+def test_merge_rows_fully_spanned():
+    # rows 0 and 1 joined by spanning cells in EVERY column → merge
+    cells = [cell([0, 1], [0], "x"), cell([0, 1], [1], "y"),
+             cell([2], [0], "a"), cell([2], [1], "b")]
+    t = make_table(cells, 3, 2)
+    merge_rows(t)
+    assert sorted(t["rows"]) == [0, 1]
+    assert cells[0]["row_nums"] == [0]
+    assert "merged rows spanned together in every column" in t["fix"]
+
+
+def test_merge_rows_partial_span_kept():
+    cells = [cell([0, 1], [0], "x"), cell([0], [1], "y"),
+             cell([1], [1], "z")]
+    t = make_table(cells, 2, 2)
+    merge_rows(t)
+    assert sorted(t["rows"]) == [0, 1]  # not merged
+
+
+def test_merge_columns_fully_spanned():
+    cells = [cell([0], [0, 1], "x"), cell([1], [0, 1], "y"),
+             cell([0], [2], "a"), cell([1], [2], "b")]
+    t = make_table(cells, 2, 3)
+    merge_columns(t)
+    assert sorted(t["columns"]) == [0, 1]
+
+
+def test_merge_group_concatenates():
+    a = cell([0], [0], "Total")
+    b = cell([1], [0], "")
+    t = make_table([a, b], 2, 1)
+    merge_group(t, [a, b])
+    assert a["row_nums"] == [0, 1]
+    assert a["text"] == "Total"
+    assert len(t["cells"]) == 1
+
+
+def test_merge_spanning_cells_in_first_column():
+    t = grid_table([["Assets", "desc a"], ["", "desc b"], ["Debt", "desc c"]])
+    merge_spanning_cells_in_first_column(t)
+    first = [c for c in t["cells"] if 0 in c["column_nums"]]
+    assert len(first) == 2
+    merged = next(c for c in first if c["text"] == "Assets")
+    assert merged["row_nums"] == [0, 1]
+
+
+def test_correct_header_assumes_for_wide_tables():
+    t = grid_table([["a", "b", "c"], ["1", "2", "3"]])
+    correct_header(t)
+    assert t["rows"][0]["is_column_header"] is True
+    assert not t["rows"][1].get("is_column_header")
+
+
+def test_correct_header_spanning_first_row():
+    cells = [cell([0], [0, 1], "Title"), cell([0], [2], "X"),
+             cell([1], [0], "x"), cell([1], [1], "y"), cell([1], [2], "z")]
+    t = make_table(cells, 2, 3)
+    correct_header(t, assume_header_if_more_than_two_columns=False)
+    assert t["rows"][0]["is_column_header"] is True
+
+
+def test_correct_header_prh_in_first_row_rejects():
+    # a lone filled first-row cell looks like a projected row header →
+    # the reference rejects and retracts the header entirely
+    # (scripts/process_fintabnet.py:603-606,637-638)
+    cells = [cell([0], [0, 1], "Title"), cell([1], [0], "x"),
+             cell([1], [1], "y")]
+    t = make_table(cells, 2, 2)
+    correct_header(t, assume_header_if_more_than_two_columns=False)
+    assert "bad projected row header" in t["reject"]
+    assert not t["rows"][0].get("is_column_header")
+
+
+def test_correct_header_two_col_ambiguous_rejected():
+    t = grid_table([["alpha", "beta"], ["gamma", "delta"]])
+    correct_header(t, assume_header_if_more_than_two_columns=False)
+    assert "ambiguous header" in t["reject"]
+
+
+def test_canonicalize_blank_header_absorption():
+    # blank header cell above a filled one is absorbed upward
+    t = grid_table([["", "Q1"], ["Year", "Q2"], ["2020", "1.0"]],
+                   header_rows=(0, 1))
+    canonicalize(t)
+    year = next(c for c in t["cells"] if "Year" in c["text"])
+    assert sorted(year["row_nums"]) == [0, 1]
+
+
+def test_canonicalize_splits_blank_spanning_header():
+    cells = [cell([0], [0, 1], "", header=True),
+             cell([1], [0], "A", header=True),
+             cell([1], [1], "B", header=True),
+             cell([2], [0], "1"), cell([2], [1], "2")]
+    t = make_table(cells, 3, 2, header_rows=(0, 1))
+    canonicalize(t)
+    # the blank spanning cell was split, then absorbed into A and B
+    a = next(c for c in t["cells"] if c["text"] == "A")
+    assert sorted(a["row_nums"]) == [0, 1]
+    assert not any(len(c["column_nums"]) > 1 and not c["text"]
+                   for c in t["cells"])
