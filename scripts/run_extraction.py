@@ -21,6 +21,10 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2000)
+    ap.add_argument("--corpus-dir", default=None,
+                    help="read documents/media parquet from here instead "
+                         "of generating (the production shape: the job "
+                         "reads the corpus, it does not synthesize it)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--mode", default="clean", choices=["clean", "noisy"])
     ap.add_argument("--buckets", type=int, default=8)
@@ -45,13 +49,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cores = spark.sparkContext.defaultParallelism
 
-    from table_transformer_spark.fixtures.spark_io import documents_df, media_df
+    from table_transformer_spark.fixtures.spark_io import (
+        documents_df,
+        media_df,
+        read_corpus,
+    )
     from table_transformer_spark.pipeline.checkpoint import (
         run_checkpointed_extraction,
     )
 
-    docs = documents_df(spark, args.docs)
-    media = media_df(spark, args.docs)
+    if args.corpus_dir:
+        docs, media = read_corpus(spark, args.corpus_dir)
+        n_docs = docs.count()
+    else:
+        docs = documents_df(spark, args.docs)
+        media = media_df(spark, args.docs)
+        n_docs = args.docs
 
     # warm the Python worker pool so measured time is steady-state
     docs.limit(1).count()
@@ -66,11 +79,11 @@ def main() -> None:
     n_spans = spark.read.parquet(summary["spans_dir"]).count()
     print(json.dumps({
         "job": "extraction",
-        "docs": args.docs,
+        "docs": n_docs,
         "mode": args.mode,
         "cores": cores,
         "wall_sec": round(wall, 3),
-        "docs_per_sec": round(args.docs / wall, 3),
+        "docs_per_sec": round(n_docs / wall, 3),
         "n_spans": n_spans,
         "buckets": args.buckets,
         "run_id": summary["run_id"],

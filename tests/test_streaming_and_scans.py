@@ -1,0 +1,74 @@
+"""Structured Streaming ingestion + scan-side operators."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    from table_transformer_spark.fixtures.spark_io import documents_df, media_df
+    from table_transformer_spark.pipeline.extract import extract
+    from table_transformer_spark.pipeline.streaming import stream_extract
+
+    docs = documents_df(spark, 8).cache()
+    media = media_df(spark, 8).cache()
+    docs_dir = str(tmp_path / "docs")
+    docs.write.parquet(docs_dir)
+
+    expected = sorted((r.doc_id, r.offset, r.kind, r.text, r.media_ref)
+                      for r in extract(docs, media).collect())
+
+    out_dir = str(tmp_path / "out")
+    q = stream_extract(spark, docs_dir, media, out_dir,
+                       str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = sorted((r.doc_id, r.offset, r.kind, r.text, r.media_ref)
+                 for r in spark.read.parquet(out_dir).collect())
+    assert got == expected
+
+    # availableNow retrigger with no new files appends nothing
+    q2 = stream_extract(spark, docs_dir, media, out_dir,
+                        str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    assert spark.read.parquet(out_dir).count() == len(expected)
+
+
+def test_tokens_with_defaults(spark):
+    from table_transformer_spark.operators.scans import tokens_with_defaults
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", 7)], ["text", "span_num"])
+    out = tokens_with_defaults(df, order_col=F.lit(3)).collect()
+    by_text = {r.text: r for r in out}
+    assert by_text["a"].span_num == 3      # defaulted
+    assert by_text["b"].span_num == 7      # preserved
+    assert by_text["a"].line_num == 0 and by_text["a"].block_num == 0
+
+
+VOC = """<annotation><filename>p1.jpg</filename>
+<object><name>table</name>
+<bndbox><xmin>10</xmin><ymin>20</ymin><xmax>110</xmax><ymax>220</ymax></bndbox>
+</object>
+<object><name>table rotated</name>
+<bndbox><xmin>5</xmin><ymin>6</ymin><xmax>7</xmax><ymax>8</ymax></bndbox>
+</object></annotation>"""
+
+
+def test_parse_voc_annotations(spark):
+    from table_transformer_spark.operators.scans import (
+        coco_index,
+        parse_voc_annotations,
+    )
+
+    df = spark.createDataFrame([("img1", VOC), ("img2", "<bad")],
+                               ["source_id", "xml"])
+    anns = parse_voc_annotations(df, "source_id", "xml")
+    rows = anns.collect()
+    assert len(rows) == 2  # malformed XML skipped
+    assert {r.label for r in rows} == {"table", "table rotated"}
+    assert [r.bbox for r in rows if r.label == "table"][0] == \
+        [10.0, 20.0, 110.0, 220.0]
+
+    idx = coco_index(anns).collect()
+    assert idx[0].n_anns == 2
