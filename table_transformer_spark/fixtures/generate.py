@@ -209,24 +209,47 @@ def synth_page(media_ref: str) -> dict:
     y_cursor = 40
     for t in range(n_tables):
         design = _design_table(rng, t)
-        ox = rng.randint(30, max(31, PAGE_W - design["width"] - 30))
+        # ~15% of tables appear rotated 90° CW on the page; the crop
+        # stage rotates them back (objects_to_crops rotation path,
+        # src/inference.py:277-286).  Page footprint swaps W/H.
+        rotated = rng.random() < 0.15
+        fw = design["height"] if rotated else design["width"]
+        fh = design["width"] if rotated else design["height"]
+        ox = rng.randint(30, max(31, PAGE_W - fw - 30))
         oy = y_cursor + rng.randint(10, 40)
-        if oy + design["height"] > PAGE_H - 20:
+        if oy + fh > PAGE_H - 20:
             break
-        y_cursor = oy + design["height"]
-        placed_tokens = [
-            {**tok, "bbox": [tok["bbox"][0] + ox, tok["bbox"][1] + oy,
-                             tok["bbox"][2] + ox, tok["bbox"][3] + oy]}
-            for tok in design["tokens"]
-        ]
+        y_cursor = oy + fh
+        pad = 10  # DEFAULT_CROP_PADDING: the rotation mapping depends on
+        # the padded crop height, so the fixture bakes the same value in
+        if rotated:
+            # invert the crop rotation: upright coords u → page coords.
+            # crop height h = design.width + 2*pad; t = (u.y0, h-u.x1-1,
+            # u.y1, h-u.x0-1); page = t + (crop origin) = t + (ox-pad,
+            # oy-pad).
+            h = design["width"] + 2 * pad
+            def place(b, _h=h, _ox=ox, _oy=oy, _pad=pad):
+                # upright (design) coords → padded-crop coords → page
+                tx0, tx1 = b[1] + _pad, b[3] + _pad
+                ty0 = _h - (b[2] + _pad) - 1
+                ty1 = _h - (b[0] + _pad) - 1
+                return [tx0 + (_ox - _pad), ty0 + (_oy - _pad),
+                        tx1 + (_ox - _pad), ty1 + (_oy - _pad)]
+        else:
+            def place(b, _ox=ox, _oy=oy):
+                return [b[0] + _ox, b[1] + _oy, b[2] + _ox, b[3] + _oy]
+        placed_tokens = [{**tok, "bbox": place(tok["bbox"])}
+                         for tok in design["tokens"]]
         page_tokens.extend(placed_tokens)
         detections.append({
-            "label": "table", "score": round(0.9 + 0.1 * rng.random(), 4),
-            "bbox": [ox, oy, ox + design["width"], oy + design["height"]],
+            "label": "table rotated" if rotated else "table",
+            "score": round(0.9 + 0.1 * rng.random(), 4),
+            "bbox": [ox, oy, ox + fw, oy + fh],
         })
         tables.append({
             "table_id": t,
             "offset": [ox, oy],
+            "rotated": rotated,
             "design": design,
             "structure_noisy": _perturb_structure(rng, design),
         })

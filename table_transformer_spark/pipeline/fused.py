@@ -25,6 +25,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
+from pyspark.sql import functions as F
+
 from ..config import (
     DEFAULT_CROP_PADDING,
     DETECTION_CLASS_THRESHOLDS,
@@ -34,6 +36,17 @@ from ..geometry import iob
 from ..kernels.structure import objects_to_cells
 from . import schemas
 from .stages import _decode_payload
+
+# packed per-table row: cells travel as one array column through Arrow
+# (≈16× fewer Python→JVM rows than per-cell emission) and explode
+# JVM-side, inside codegen
+_PACKED_SCHEMA = (
+    "doc_id string, media_ref string, page_offset int, table_num int, "
+    "confidence double, cells array<struct<"
+    "cell_num:int, bbox:array<double>, row_nums:array<int>, "
+    "column_nums:array<int>, is_column_header:boolean, "
+    "is_projected_row_header:boolean, cell_text:string>>"
+)
 
 
 def make_fused_page_fn(mode: str = "clean",
@@ -48,11 +61,7 @@ def make_fused_page_fn(mode: str = "clean",
         # <-- detection + structure models would be loaded once here -->
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "media_ref", "page_offset",
-                                   "table_num", "cell_num", "bbox",
-                                   "row_nums", "column_nums",
-                                   "is_column_header",
-                                   "is_projected_row_header", "cell_text",
-                                   "confidence")}
+                                   "table_num", "confidence", "cells")}
             for doc_id, media_ref, page_offset, payload in zip(
                     pdf["doc_id"], pdf["media_ref"], pdf["page_offset"],
                     pdf["payload"]):
@@ -70,6 +79,15 @@ def make_fused_page_fn(mode: str = "clean",
                                        t["bbox"][3] - crop[1]]}
                         for t in page["tokens"]
                         if iob(t["bbox"], crop) >= 0.5]
+                    if det["label"] == "table rotated":
+                        # rotate the crop upright (src/inference.py:277-286)
+                        h = crop[3] - crop[1]
+                        tokens = [
+                            {**t, "bbox": [h - t["bbox"][3] - 1,
+                                           t["bbox"][0],
+                                           h - t["bbox"][1] - 1,
+                                           t["bbox"][2]]}
+                            for t in tokens]
                     tbl = page["tables"][table_num]
                     source = (tbl["design"]["structure"] if mode == "clean"
                               else tbl["structure_noisy"])
@@ -95,26 +113,40 @@ def make_fused_page_fn(mode: str = "clean",
                         toks, STRUCTURE_CLASS_THRESHOLDS, copy_inputs=False)
                     cells = sorted(cells, key=lambda c: (min(c["row_nums"]),
                                                          min(c["column_nums"])))
-                    for i, cell in enumerate(cells):
-                        out["doc_id"].append(doc_id)
-                        out["media_ref"].append(media_ref)
-                        out["page_offset"].append(page_offset)
-                        out["table_num"].append(table_num)
-                        out["cell_num"].append(i)
-                        out["bbox"].append([float(v) for v in cell["bbox"]])
-                        out["row_nums"].append(list(cell["row_nums"]))
-                        out["column_nums"].append(list(cell["column_nums"]))
-                        out["is_column_header"].append(bool(cell["header"]))
-                        out["is_projected_row_header"].append(
-                            bool(cell["subheader"]))
-                        out["cell_text"].append(cell["cell_text"])
-                        out["confidence"].append(float(confidence))
-            yield pd.DataFrame(out)
+                    out["doc_id"].append(doc_id)
+                    out["media_ref"].append(media_ref)
+                    out["page_offset"].append(page_offset)
+                    out["table_num"].append(table_num)
+                    out["confidence"].append(float(confidence))
+                    out["cells"].append([
+                        (i, [float(v) for v in c["bbox"]],
+                         list(c["row_nums"]), list(c["column_nums"]),
+                         bool(c["header"]), bool(c["subheader"]),
+                         c["cell_text"])
+                        for i, c in enumerate(cells)])
+            pdf_out = pd.DataFrame(out)
+            if pdf_out.empty:
+                pdf_out = pdf_out.astype(object)
+            yield pdf_out
 
     return run
 
 
 def run_cells_fused(pages_with_payload: DataFrame,
                     mode: str = "clean") -> DataFrame:
-    return pages_with_payload.mapInPandas(make_fused_page_fn(mode=mode),
-                                          schema=schemas.CELL_SCHEMA)
+    packed = pages_with_payload.mapInPandas(make_fused_page_fn(mode=mode),
+                                            schema=_PACKED_SCHEMA)
+    cell = F.explode("cells").alias("cell")
+    return (packed
+            .select("doc_id", "media_ref", "page_offset", "table_num",
+                    "confidence", cell)
+            .select("doc_id", "media_ref", "page_offset", "table_num",
+                    F.col("cell.cell_num").alias("cell_num"),
+                    F.col("cell.bbox").alias("bbox"),
+                    F.col("cell.row_nums").alias("row_nums"),
+                    F.col("cell.column_nums").alias("column_nums"),
+                    F.col("cell.is_column_header").alias("is_column_header"),
+                    F.col("cell.is_projected_row_header")
+                    .alias("is_projected_row_header"),
+                    F.col("cell.cell_text").alias("cell_text"),
+                    "confidence"))

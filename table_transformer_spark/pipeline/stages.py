@@ -113,16 +113,26 @@ def crop_tables(pages: DataFrame,
     crop = F.col("crop_bbox")
     assigned = F.filter(
         "tokens", lambda t: iob_expr(t["bbox"], crop) >= F.lit(0.5))
-    rebased = F.transform(
-        assigned,
-        lambda t: F.struct(
-            translate_expr(t["bbox"], -crop[0], -crop[1]).alias("bbox"),
+    # for 'table rotated' detections the crop is rotated 270° with
+    # expansion, so token boxes remap to the upright frame
+    # (src/inference.py:277-286): [h - y1 - 1, x0, h - y0 - 1, x1]
+    # with h = crop height (= rotated image width).
+    crop_h = crop[3] - crop[1]
+    is_rot = F.col("det.label") == "table rotated"
+
+    def _rebase(t):
+        b = translate_expr(t["bbox"], -crop[0], -crop[1])
+        rotated = F.array(crop_h - b[3] - 1, b[0], crop_h - b[1] - 1, b[2])
+        return F.struct(
+            F.when(is_rot, rotated).otherwise(b).alias("bbox"),
             t["text"].alias("text"),
             t["block_num"].alias("block_num"),
             t["line_num"].alias("line_num"),
             t["span_num"].alias("span_num"),
             t["flags"].alias("flags"),
-        ))
+        )
+
+    rebased = F.transform(assigned, _rebase)
 
     return df.select(
         "doc_id", "media_ref", "page_offset",

@@ -136,6 +136,13 @@ def _local_reference_run(n_docs):
                         tokens.append({**t, "bbox": [
                             t["bbox"][0] - crop[0], t["bbox"][1] - crop[1],
                             t["bbox"][2] - crop[0], t["bbox"][3] - crop[1]]})
+                if det["label"] == "table rotated":
+                    h = crop[3] - crop[1]
+                    tokens = [{**t, "bbox": [h - t["bbox"][3] - 1,
+                                             t["bbox"][0],
+                                             h - t["bbox"][1] - 1,
+                                             t["bbox"][2]]}
+                              for t in tokens]
                 objects = [
                     {"label": o["label"], "score": float(o["score"]),
                      "bbox": [o["bbox"][0] + pad, o["bbox"][1] + pad,
