@@ -80,7 +80,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_spans_clean"] = _extraction_query("clean")
     out["extract_spans_noisy"] = _extraction_query("noisy")
     out["grits_summary_noisy_vs_clean"] = _grits_query
+    out["canonicalize_tables"] = _canonicalize_query
     return out
+
+
+def _canonicalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FinTabNet-family canonicalization chain over extracted cells
+    (annotate PRH → remove empty → merge spanned → header rules →
+    blank absorption).  Order-sensitive kernel chain → rows-only check."""
+    from table_transformer_spark.fixtures.spark_io import documents_df, media_df
+    from table_transformer_spark.operators.canonicalize_df import (
+        canonicalize_cells_df,
+    )
+    from table_transformer_spark.pipeline.extract import run_cells
+
+    docs = documents_df(spark, _ENTRY_DOCS)
+    media = media_df(spark, _ENTRY_DOCS)
+    return canonicalize_cells_df(run_cells(docs, media, mode="clean"))
 
 
 def oracle_sql() -> dict[str, str]:

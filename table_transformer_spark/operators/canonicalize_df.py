@@ -1,0 +1,100 @@
+"""DataFrame driver for the corpus-canonicalization kernel family.
+
+Runs the FinTabNet ETL chain (annotate projected row headers → remove
+empty rows/columns → merge fully-spanned rows/columns → header rules →
+blank-absorption canonicalization) per table via ``applyInPandas``,
+emitting canonical cells plus the reject/fix provenance lists that feed
+the status table (``scripts/process_fintabnet.py:1241-1249`` pipeline
+order, minus the PDF-text fixpoint which needs real PDFs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..kernels.canonicalize import (
+    annotate_projected_row_headers,
+    canonicalize,
+    correct_header,
+    merge_columns,
+    merge_rows,
+    remove_empty_columns,
+    remove_empty_rows,
+)
+
+CANONICAL_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("media_ref", T.StringType()),
+    T.StructField("table_num", T.IntegerType()),
+    T.StructField("cell_num", T.IntegerType()),
+    T.StructField("row_nums", T.ArrayType(T.IntegerType())),
+    T.StructField("column_nums", T.ArrayType(T.IntegerType())),
+    T.StructField("cell_text", T.StringType()),
+    T.StructField("is_column_header", T.BooleanType()),
+    T.StructField("is_projected_row_header", T.BooleanType()),
+    T.StructField("reject", T.ArrayType(T.StringType())),
+    T.StructField("fix", T.ArrayType(T.StringType())),
+])
+
+
+def _kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    cells = [{
+        "row_nums": sorted(r.row_nums),
+        "column_nums": sorted(r.column_nums),
+        "text": r.cell_text,
+        "is_column_header": bool(r.is_column_header),
+        "is_projected_row_header": bool(r.is_projected_row_header),
+        "bbox": list(r.bbox) if r.bbox is not None else [],
+    } for r in pdf.itertuples(index=False)]
+
+    n_rows = max((max(c["row_nums"]) for c in cells), default=-1) + 1
+    n_cols = max((max(c["column_nums"]) for c in cells), default=-1) + 1
+    header_rows = {r for c in cells if c["is_column_header"]
+                   for r in c["row_nums"]}
+    table = {
+        "cells": cells,
+        "rows": {r: {"is_column_header": r in header_rows}
+                 for r in range(n_rows)},
+        "columns": {c: {} for c in range(n_cols)},
+        "reject": [], "fix": [],
+    }
+
+    annotate_projected_row_headers(table)
+    remove_empty_rows(table)
+    merge_rows(table)
+    remove_empty_columns(table)
+    merge_columns(table)
+    correct_header(table)
+    canonicalize(table)
+
+    rows = []
+    ordered = sorted(table["cells"],
+                     key=lambda c: (min(c["row_nums"], default=0),
+                                    min(c["column_nums"], default=0)))
+    for i, c in enumerate(ordered):
+        rows.append({
+            "doc_id": key[0], "media_ref": key[1], "table_num": int(key[2]),
+            "cell_num": i,
+            "row_nums": list(c["row_nums"]),
+            "column_nums": list(c["column_nums"]),
+            "cell_text": c["text"],
+            "is_column_header": bool(c.get("is_column_header")),
+            "is_projected_row_header": bool(c.get("is_projected_row_header")),
+            "reject": list(table["reject"]),
+            "fix": list(table["fix"]),
+        })
+    out = pd.DataFrame(rows)
+    if out.empty:
+        out = pd.DataFrame(
+            {f.name: pd.Series(dtype=object) for f in CANONICAL_SCHEMA})
+    return out
+
+
+def canonicalize_cells_df(cells: DataFrame) -> DataFrame:
+    """CELL_SCHEMA rows → canonicalized cells + provenance, per table."""
+    return (cells
+            .groupBy("doc_id", "media_ref", "table_num")
+            .applyInPandas(_kernel, schema=CANONICAL_SCHEMA))

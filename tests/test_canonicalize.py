@@ -171,6 +171,34 @@ def test_canonicalize_blank_header_absorption():
     assert sorted(year["row_nums"]) == [0, 1]
 
 
+def test_canonicalize_cells_df_distributed(spark):
+    from table_transformer_spark.fixtures.spark_io import documents_df, media_df
+    from table_transformer_spark.operators.canonicalize_df import (
+        canonicalize_cells_df,
+    )
+    from table_transformer_spark.pipeline.extract import run_cells
+
+    docs = documents_df(spark, 6)
+    media = media_df(spark, 6)
+    out = canonicalize_cells_df(run_cells(docs, media, mode="clean"))
+    rows = out.collect()
+    assert rows
+    n_cols_by_table = {}
+    for r in rows:
+        key = (r.doc_id, r.media_ref, r.table_num)
+        n_cols_by_table.setdefault(key, 0)
+        n_cols_by_table[key] = max(n_cols_by_table[key],
+                                   max(r.column_nums) + 1)
+    for r in rows:
+        # canonical invariant: projected row headers span the full width
+        if r.is_projected_row_header:
+            key = (r.doc_id, r.media_ref, r.table_num)
+            assert list(r.column_nums) == list(range(n_cols_by_table[key]))
+        # canonical invariant: no blank multi-cell header cells survive
+        if r.is_column_header and not r.cell_text.strip():
+            assert len(r.column_nums) == 1 and len(r.row_nums) == 1
+
+
 def test_canonicalize_splits_blank_spanning_header():
     cells = [cell([0], [0, 1], "", header=True),
              cell([1], [0], "A", header=True),
