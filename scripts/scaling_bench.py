@@ -64,6 +64,14 @@ def submit(cores: int, zpath: str, out_dir: str, corpus_dir: str) -> dict:
         "spark-submit",
         "--master", f"local[{cores}]",
         "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        # honest resource accounting: each task of the Arrow-batched
+        # kernel stage occupies ~2 cores (the Python worker plus its JVM
+        # Arrow-serde/shuffle companion thread).  Declaring task.cpus=2
+        # keeps "N cores" ≈ N busy threads at BOTH levels, so the N vs
+        # 4N comparison measures job scalability, not silent 2× host
+        # oversubscription that a real cluster's resource manager would
+        # never grant.
+        "--conf", "spark.task.cpus=2",
         "--py-files", zpath,
         os.path.join(REPO, "scripts", "run_extraction.py"),
         "--corpus-dir", corpus_dir,

@@ -673,6 +673,45 @@ FROM documents
 """
 
 
+def q_page_location_fast(spark, sf_dir):
+    """Two-phase table→page location, phase 1 (word-set intersection
+    scoring with the ≥max/2 keep rule, scripts/process_pubmed.py:432-487).
+    'Tables' are derived snippets (first 6 words of every 25th doc);
+    'pages' are the documents."""
+    from .operators.page_location import candidate_pages_fast
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(F.col("doc_id").alias("page_id"), "text")
+    tables = (docs.filter(F.col("doc_id") % 25 == 0)
+              .select(F.col("doc_id").alias("table_id"),
+                      F.array_join(F.slice(F.split("text", " "), 1, 6), " ")
+                      .alias("text")))
+    return candidate_pages_fast(pages, tables)
+
+
+ORACLE_PAGE_LOCATION_FAST = """
+WITH pages AS (SELECT doc_id AS page_id, text FROM documents),
+tables_ AS (
+  SELECT doc_id AS table_id,
+         array_to_string(string_split(text, ' ')[1:6], ' ') AS text
+  FROM documents WHERE doc_id % 25 = 0
+),
+pw AS (SELECT DISTINCT page_id, unnest(string_split(lower(text), ' ')) AS word
+       FROM pages),
+tw AS (SELECT DISTINCT table_id, unnest(string_split(lower(text), ' ')) AS word
+       FROM tables_),
+scores AS (
+  SELECT table_id, page_id, count(*) AS n_common
+  FROM pw JOIN tw USING (word)
+  GROUP BY table_id, page_id
+)
+SELECT table_id, page_id, n_common, max_common FROM (
+  SELECT *, max(n_common) OVER (PARTITION BY table_id) AS max_common
+  FROM scores
+) WHERE n_common * 2 >= max_common
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -702,6 +741,7 @@ QUERIES = {
     "quality_features": q_quality_features,
     "lang_signal": q_lang_signal,
     "doc_fingerprints": q_doc_fingerprints,
+    "page_location_fast": q_page_location_fast,
 }
 
 ORACLES = {
@@ -729,4 +769,5 @@ ORACLES = {
     "quality_features": ORACLE_QUALITY_FEATURES,
     "lang_signal": ORACLE_LANG_SIGNAL,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
+    "page_location_fast": ORACLE_PAGE_LOCATION_FAST,
 }

@@ -72,3 +72,22 @@ def test_parse_voc_annotations(spark):
 
     idx = coco_index(anns).collect()
     assert idx[0].n_anns == 2
+
+
+def test_locate_tables_two_phase(spark):
+    """A table snippet derived from a doc must locate back to that doc
+    as the top-ranked page."""
+    from pyspark.sql import functions as F
+
+    from table_transformer_spark.operators.page_location import locate_tables
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.select(F.col("doc_id").alias("page_id"), "text")
+    tables = (docs.filter(F.col("doc_id") % 100 == 0)
+              .select(F.col("doc_id").alias("table_id"),
+                      F.array_join(F.slice(F.split("text", " "), 1, 20), " ")
+                      .alias("text")))
+    top = {r.table_id: r.page_id for r in locate_tables(pages, tables).collect()}
+    n_right = sum(1 for t, p in top.items() if t == p)
+    # tiny synthetic vocabulary → occasional full-subsequence collisions
+    assert n_right >= 0.6 * len(top)
