@@ -226,33 +226,25 @@ SELECT user_id, event_id, value FROM (
 
 
 def q_cumsum_renumber(spark, sf_dir):
-    """Empty-row removal + cumulative renumbering
-    (clean_xml_annotation, scripts/process_pubmed.py:711-765): drop
-    'empty' lines (l_quantity < 3), renumber survivors densely."""
+    """Empty-row removal + dense renumbering of survivors
+    (clean_xml_annotation, scripts/process_pubmed.py:711-765 semantics —
+    drop 'empty' lines (l_quantity < 3), renumber the rest densely in
+    line order).  The testdata has duplicate (orderkey, linenumber)
+    pairs, so renumbering is expressed as a row_number over survivors:
+    tied keys swap freely but the output *multiset* is engine-stable."""
     li = load(spark, sf_dir, "lineitem")
-    w = (Window.partitionBy("l_orderkey").orderBy("l_linenumber")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    empty = (F.col("l_quantity") < 3).cast("long")
-    return (li.select("l_orderkey", "l_linenumber", "l_quantity",
-                      empty.alias("is_empty"))
-            .withColumn("n_removed", F.sum("is_empty").over(w))
-            .filter(F.col("is_empty") == 0)
-            .select("l_orderkey", "l_linenumber",
-                    (F.col("l_linenumber") - 1 - F.col("n_removed"))
-                    .cast("long").alias("new_num")))
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (li.filter(F.col("l_quantity") >= 3)
+            .select("l_orderkey", "l_linenumber")
+            .withColumn("new_num",
+                        (F.row_number().over(w) - 1).cast("long")))
 
 
 ORACLE_CUMSUM_RENUMBER = """
 SELECT l_orderkey, l_linenumber,
-       l_linenumber - 1 - n_removed AS new_num
-FROM (
-  SELECT l_orderkey, l_linenumber,
-         CAST(l_quantity < 3 AS BIGINT) AS is_empty,
-         sum(CAST(l_quantity < 3 AS BIGINT)) OVER (
-             PARTITION BY l_orderkey ORDER BY l_linenumber
-             ROWS UNBOUNDED PRECEDING) AS n_removed
-  FROM lineitem
-) WHERE is_empty = 0
+       row_number() OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber) - 1 AS new_num
+FROM lineitem WHERE l_quantity >= 3
 """
 
 
@@ -264,7 +256,10 @@ def q_header_prefix_run(spark, sf_dir):
     flagged = F.when(F.col("l_returnflag") == "N", 1).otherwise(0)
     first_gap = F.min(
         F.when(F.col("flag") == 0, F.col("rn"))).alias("first_gap")
-    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # duplicate (orderkey, linenumber) keys exist in the testdata: break
+    # ties on the flag itself so the prefix run is engine-deterministic
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber",
+                                                 F.col("flag").desc())
     return (li.select("l_orderkey", "l_linenumber", flagged.alias("flag"))
             .withColumn("rn", F.row_number().over(w))
             .groupBy("l_orderkey")
@@ -280,7 +275,11 @@ SELECT l_orderkey,
 FROM (
   SELECT l_orderkey,
          CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS flag,
-         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+         row_number() OVER (
+             PARTITION BY l_orderkey
+             ORDER BY l_linenumber,
+                      CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END DESC
+         ) AS rn
   FROM lineitem
 )
 GROUP BY l_orderkey
