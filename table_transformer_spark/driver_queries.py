@@ -711,6 +711,28 @@ SELECT table_id, page_id, n_common, max_common FROM (
 """
 
 
+def q_group_cv_stats(spark, sf_dir):
+    """Coefficient-of-variation rollup (compute_statistics CV of row
+    heights / column widths, src/eval.py:334-357): per order, counts and
+    cv of line quantities (0 with <2 samples, reference convention)."""
+    li = load(spark, sf_dir, "lineitem")
+    cv = F.when(F.count("l_quantity") >= 2,
+                F.round(F.stddev_samp("l_quantity")
+                        / F.avg("l_quantity"), 6)).otherwise(F.lit(0.0))
+    return (li.groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 cv.alias("qty_cv")))
+
+
+ORACLE_GROUP_CV_STATS = """
+SELECT l_orderkey, count(*) AS n_lines,
+       CASE WHEN count(l_quantity) >= 2
+            THEN round(stddev_samp(l_quantity) / avg(l_quantity), 6)
+            ELSE 0.0 END AS qty_cv
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -741,6 +763,7 @@ QUERIES = {
     "lang_signal": q_lang_signal,
     "doc_fingerprints": q_doc_fingerprints,
     "page_location_fast": q_page_location_fast,
+    "group_cv_stats": q_group_cv_stats,
 }
 
 ORACLES = {
@@ -769,4 +792,5 @@ ORACLES = {
     "lang_signal": ORACLE_LANG_SIGNAL,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
     "page_location_fast": ORACLE_PAGE_LOCATION_FAST,
+    "group_cv_stats": ORACLE_GROUP_CV_STATS,
 }

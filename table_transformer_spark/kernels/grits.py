@@ -224,3 +224,22 @@ def grits_con(true_cells, pred_cells):
     return factored_2dmss(cells_to_grid(true_cells, key="cell_text"),
                           cells_to_grid(pred_cells, key="cell_text"),
                           _text_reward)
+
+
+def grits_from_html(true_html: str, pred_html: str) -> dict:
+    """GriTS_Top + GriTS_Con for two HTML table strings
+    (``src/grits.py:466-497``): parse both sides with the occupancy
+    parser, then score topology and content grids."""
+    from ..operators.export import html_to_cells
+
+    true_cells = html_to_cells(true_html)
+    pred_cells = html_to_cells(pred_html)
+
+    metrics = {}
+    (metrics["grits_top"], metrics["grits_precision_top"],
+     metrics["grits_recall_top"],
+     metrics["grits_top_upper_bound"]) = grits_top(true_cells, pred_cells)
+    (metrics["grits_con"], metrics["grits_precision_con"],
+     metrics["grits_recall_con"],
+     metrics["grits_con_upper_bound"]) = grits_con(true_cells, pred_cells)
+    return metrics

@@ -22,6 +22,7 @@ def cell(r, c, text, rows=None, cols=None):
     rows = rows or [r]
     cols = cols or [c]
     return {"row_nums": rows, "column_nums": cols, "cell_text": text,
+            "header": False,
             "bbox": [min(cols) * 10.0, min(rows) * 10.0,
                      (max(cols) + 1) * 10.0, (max(rows) + 1) * 10.0]}
 
@@ -148,3 +149,45 @@ def test_distributed_grits_noisy_vs_clean(spark):
     for row in rows:
         assert 0.0 <= row.grits_loc <= 1.0
         assert row.grits_con == pytest.approx(1.0)
+
+
+def test_grits_from_html():
+    from table_transformer_spark.kernels.grits import grits_from_html
+    from table_transformer_spark.operators.export import cells_to_html
+
+    cells = grid_2x2([["aa", "bb"], ["cc", "dd"]])
+    html = cells_to_html(cells)
+    m = grits_from_html(html, html)
+    assert m["grits_top"] == pytest.approx(1.0)
+    assert m["grits_con"] == pytest.approx(1.0)
+
+    other = cells_to_html(grid_2x2([["aa", "bb"], ["cc", "zz"]]))
+    m2 = grits_from_html(html, other)
+    assert m2["grits_con"] == pytest.approx(0.75)
+
+
+def test_table_statistics(spark):
+    from table_transformer_spark.eval.statistics import table_statistics
+    from table_transformer_spark.fixtures.spark_io import documents_df, media_df
+    from table_transformer_spark.pipeline.extract import run_cells
+
+    docs = documents_df(spark, 6)
+    media = media_df(spark, 6)
+    cells = run_cells(docs, media, mode="clean").cache()
+    stats = {(r.doc_id, r.media_ref, r.table_num): r
+             for r in table_statistics(cells).collect()}
+    assert stats
+    # cross-check one table against its cells
+    by_table = {}
+    for c in cells.collect():
+        by_table.setdefault((c.doc_id, c.media_ref, c.table_num),
+                            []).append(c)
+    for key, tcells in by_table.items():
+        s = stats[key]
+        assert s.num_cells == len(tcells)
+        assert s.num_rows == max(max(c.row_nums) for c in tcells) + 1
+        assert s.num_columns == max(max(c.column_nums) for c in tcells) + 1
+        n_span = sum(1 for c in tcells
+                     if len(c.row_nums) > 1 or len(c.column_nums) > 1)
+        assert s.num_spanning_cells == n_span
+        assert s.row_height_cv >= 0.0
