@@ -56,22 +56,40 @@ _RERANK_SCHEMA = T.StructType([
 ])
 
 
-def rerank_candidates(candidates_with_text: DataFrame) -> DataFrame:
-    """Phase 2 (get_table_page_slow shape,
-    scripts/process_pubmed.py:449-472): expensive character-level
-    similarity on survivors only, best page first.  Expects columns
-    (table_id, page_id, table_text, page_text)."""
+def rerank_candidates(candidates_with_text: DataFrame,
+                      scorer: str = "lcs") -> DataFrame:
+    """Phase 2 (get_table_page_slow, scripts/process_pubmed.py:449-472):
+    expensive character-level scoring on survivors only, best page
+    first.  Expects columns (table_id, page_id, table_text, page_text).
+
+    scorer='align' uses the gap-taxonomy DP with the reference's slow-
+    phase parameters (match 2, mismatch -2, new gap -10, continue
+    -0.0005, boundary 0.0001) — O(|page|·|table|) per pair, appropriate
+    when the fast phase is selective (real corpora).  scorer='lcs'
+    (default) is a cheaper containment-LCS approximation for corpora
+    whose small vocabulary makes the fast filter keep many candidates
+    (the synthetic testdata).
+    """
+    from ..kernels.alignment import align_chars
+
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for r in pdf.itertuples(index=False):
             table_text = str(r.table_text)
-            m = SequenceMatcher(None, table_text, str(r.page_text))
-            lcs = sum(b.size for b in m.get_matching_blocks())
-            # containment normalization: how much of the TABLE text
-            # aligns into the page (the reference scores the table
-            # against the page, scripts/process_pubmed.py:449-472;
-            # symmetric normalization would penalize long pages)
-            sim = lcs / len(table_text) if table_text else 0.0
+            page_text = str(r.page_text)
+            if scorer == "align":
+                sim = align_chars(
+                    page_text.replace("~", "^"), table_text.replace("~", "^"),
+                    match_reward=2, mismatch_penalty=-2,
+                    new_gap_penalty=-10, continue_gap_penalty=-0.0005,
+                    page_boundary_gap_reward=0.0001, score_only=True,
+                    gap_character="~")
+            else:
+                m = SequenceMatcher(None, table_text, page_text)
+                lcs = sum(b.size for b in m.get_matching_blocks())
+                # containment normalization: how much of the TABLE text
+                # aligns into the page
+                sim = lcs / len(table_text) if table_text else 0.0
             rows.append({"table_id": r.table_id, "page_id": r.page_id,
                          "sim_x1000": int(sim * 1000)})
         out = pd.DataFrame(rows).sort_values(
