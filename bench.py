@@ -22,7 +22,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-EXTRACT_DOCS = int(os.environ.get("BENCH_EXTRACT_DOCS", "2000"))
+EXTRACT_DOCS = int(os.environ.get("BENCH_EXTRACT_DOCS", "8000"))
 
 # headline operator queries (subset of the full catalog: one per family)
 BENCH_QUERIES = [
@@ -78,13 +78,26 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
-    # flagship extraction throughput (docs/sec) over the synthesized
-    # BASELINE-contract corpus
-    docs = documents_df(spark, EXTRACT_DOCS)
-    media = media_df(spark, EXTRACT_DOCS)
-    t0 = time.perf_counter()
-    _run(extract(docs, media, mode="clean"))
-    extract_sec = time.perf_counter() - t0
+    # flagship extraction throughput (docs/sec): corpus is materialized
+    # to parquet first (untimed) so the measured job READS its input,
+    # as the production job would read Iceberg
+    import shutil
+    import tempfile
+
+    from table_transformer_spark.fixtures.spark_io import (
+        read_corpus,
+        write_corpus,
+    )
+
+    corpus_dir = tempfile.mkdtemp(prefix="ttspark_bench_corpus_")
+    try:
+        write_corpus(spark, EXTRACT_DOCS, corpus_dir)
+        docs, media = read_corpus(spark, corpus_dir)
+        t0 = time.perf_counter()
+        _run(extract(docs, media, mode="clean"))
+        extract_sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(corpus_dir, ignore_errors=True)
     timings["extract_spans_clean"] = round(extract_sec, 3)
     docs_per_sec = round(EXTRACT_DOCS / extract_sec, 3)
     print(f"[bench] extraction: {EXTRACT_DOCS} docs in "
