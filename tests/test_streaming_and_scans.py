@@ -91,3 +91,35 @@ def test_locate_tables_two_phase(spark):
     n_right = sum(1 for t, p in top.items() if t == p)
     # tiny synthetic vocabulary → occasional full-subsequence collisions
     assert n_right >= 0.6 * len(top)
+
+
+def test_windowed_event_stream_matches_batch(spark, tmp_path):
+    """Watermark + tumbling window streaming agg == batch aggregation
+    once the stream is fully drained (availableNow semantics)."""
+    from pyspark.sql import functions as F
+
+    from table_transformer_spark.pipeline.streaming import (
+        windowed_event_stream,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events_dir = str(tmp_path / "events")
+    events.write.parquet(events_dir)
+
+    agg = windowed_event_stream(spark, events_dir, events.schema)
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName("win_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = sorted((r["window"]["start"], r["event_type"], r["n"],
+                  r["sum_value"])
+                 for r in spark.sql("SELECT * FROM win_out").collect())
+    want = sorted((r["window"]["start"], r["event_type"], r["n"],
+                   r["sum_value"])
+                  for r in (events.groupBy(F.window("ts", "5 minutes"),
+                                           "event_type")
+                            .agg(F.count(F.lit(1)).alias("n"),
+                                 F.round(F.sum("value"), 2)
+                                 .alias("sum_value"))).collect())
+    assert got == want
