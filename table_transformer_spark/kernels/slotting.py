@@ -16,8 +16,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..geometry import Box, np_box_area, np_pairwise_intersection
-from .text import text_inside_bbox
+from ..geometry import Box, np_box_area, np_iob_matrix, np_pairwise_intersection
+from .text import assemble_text
 
 __all__ = [
     "order_by_score",
@@ -88,12 +88,12 @@ def slot_into_containers(containers, packages, overlap_threshold: float = 0.5,
         where=pkg_areas[:, None] > 0.0,
     )
 
-    n_containers = fractions.shape[1]
     for p in range(fractions.shape[0]):
         row = fractions[p]
-        # stable descending order == reference's sorted(key=-score)
-        order = sorted(range(n_containers), key=lambda c: -row[c])
-        best = order[0]
+        # stable descending argsort == the reference's stable
+        # sorted(key=-score): ties keep container order
+        order = np.argsort(-row, kind="stable")
+        best = int(order[0])
         best_scores.append(float(row[best]))
         if forced_assignment or row[best] >= overlap_threshold:
             by_container[best].append(p)
@@ -101,8 +101,8 @@ def slot_into_containers(containers, packages, overlap_threshold: float = 0.5,
         if not unique_assignment:
             for c in order[1:]:
                 if row[c] >= overlap_threshold:
-                    by_container[c].append(p)
-                    by_package[p].append(c)
+                    by_container[int(c)].append(p)
+                    by_package[p].append(int(c))
                 else:
                     break
 
@@ -177,7 +177,21 @@ def nms_by_containment(containers, packages, overlap_threshold: float = 0.5):
 
 def drop_containers_without_text(spans, objects):
     """Remove objects whose contained text is empty, in place
-    (``src/postprocess.py:262-270``)."""
-    for obj in objects[:]:
-        if not text_inside_bbox(spans, obj["bbox"]).strip():
+    (``src/postprocess.py:262-270``).
+
+    The span→object containment test is batched into one iob matrix
+    (identical arithmetic to the scalar ``overlaps`` predicate)."""
+    if not objects:
+        return
+    if not spans:
+        # no spans ⇒ every object's text is empty ⇒ all removed
+        objects.clear()
+        return
+
+    span_boxes = np.asarray([s["bbox"] for s in spans], dtype=float)
+    obj_boxes = np.asarray([o["bbox"] for o in objects], dtype=float)
+    contained = np_iob_matrix(span_boxes, obj_boxes) >= 0.5
+    for j, obj in enumerate(list(objects)):
+        subset = [spans[i] for i in np.nonzero(contained[:, j])[0]]
+        if not assemble_text(subset, remove_integer_superscripts=True).strip():
             objects.remove(obj)
