@@ -76,8 +76,17 @@ def main() -> None:
         mode=args.mode)
     wall = time.perf_counter() - t0
 
-    n_spans = spark.read.parquet(summary["spans_dir"]).count()
+    from pyspark.sql import functions as F
+
+    out_df = spark.read.parquet(summary["spans_dir"])
+    agg = out_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(doc_id, offset, kind, text, media_ref))")
+        .alias("h")).collect()[0]
+    n_spans = agg["n"]
+    output_hash = int(agg["h"]) if agg["h"] is not None else 0
     print(json.dumps({
+        "output_hash": output_hash,
         "job": "extraction",
         "docs": n_docs,
         "mode": args.mode,

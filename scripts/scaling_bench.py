@@ -99,8 +99,12 @@ def main() -> None:
                      corpus_dir)
         high = submit(N_HIGH, zpath, os.path.join(tmp, f"out{N_HIGH}"),
                       corpus_dir)
+        # determinism under parallelism: identical content hash, not
+        # just identical row counts
         assert low["n_spans"] == high["n_spans"], \
             "outputs differ across parallelism levels"
+        assert low["output_hash"] == high["output_hash"], \
+            "output content hash differs across parallelism levels"
         eff = (high["docs_per_sec"] / low["docs_per_sec"]) / (N_HIGH / N_LOW)
         result = {
             "metric": "scaling_efficiency",

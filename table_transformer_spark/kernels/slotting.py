@@ -88,6 +88,20 @@ def slot_into_containers(containers, packages, overlap_threshold: float = 0.5,
         where=pkg_areas[:, None] > 0.0,
     )
 
+    if unique_assignment:
+        # fully vectorized: np.argmax returns the FIRST maximum — the
+        # exact stable tie-break of the reference's sorted(key=-score)
+        bests = np.argmax(fractions, axis=1)
+        scores = fractions[np.arange(fractions.shape[0]), bests]
+        best_scores = scores.tolist()
+        take = (scores >= overlap_threshold) if not forced_assignment \
+            else np.ones_like(scores, dtype=bool)
+        for p in np.nonzero(take)[0]:
+            c = int(bests[p])
+            by_container[c].append(int(p))
+            by_package[p].append(c)
+        return by_container, by_package, best_scores
+
     for p in range(fractions.shape[0]):
         row = fractions[p]
         # stable descending argsort == the reference's stable
@@ -98,13 +112,12 @@ def slot_into_containers(containers, packages, overlap_threshold: float = 0.5,
         if forced_assignment or row[best] >= overlap_threshold:
             by_container[best].append(p)
             by_package[p].append(best)
-        if not unique_assignment:
-            for c in order[1:]:
-                if row[c] >= overlap_threshold:
-                    by_container[int(c)].append(p)
-                    by_package[p].append(int(c))
-                else:
-                    break
+        for c in order[1:]:
+            if row[c] >= overlap_threshold:
+                by_container[int(c)].append(p)
+                by_package[p].append(int(c))
+            else:
+                break
 
     return by_container, by_package, best_scores
 
