@@ -711,6 +711,50 @@ SELECT table_id, page_id, n_common, max_common FROM (
 """
 
 
+def q_header_flag_semijoin(spark, sf_dir):
+    """Header-flag row annotation as a left-semi theta-join
+    (row.header = ∃ header with iob ≥ 0.5, src/postprocess.py:105-109):
+    packages flagged when any container strip holds ≥50% of them."""
+    pkg = _packages(spark, sf_dir)
+    con = _containers(spark)
+    ov = (F.least(F.col("px") + 10, F.col("cx1"))
+          - F.greatest(F.col("px"), F.col("cx0")))
+    flagged = pkg.join(F.broadcast(con), ov * 2 >= 10, "left_semi")
+    return (flagged.groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_flagged")))
+
+
+ORACLE_HEADER_FLAG_SEMIJOIN = f"""
+WITH pkg AS ({_PKG}),
+con AS (SELECT cid, cid*125 AS cx0, cid*125+125 AS cx1
+        FROM (SELECT unnest(range(8))::int AS cid))
+SELECT l_orderkey, count(*) AS n_flagged
+FROM pkg p
+WHERE EXISTS (
+  SELECT 1 FROM con c
+  WHERE (least(p.px + 10, c.cx1) - greatest(p.px, c.cx0)) * 2 >= 10)
+GROUP BY l_orderkey
+"""
+
+
+def q_dataset_intersect_scan(spark, sf_dir):
+    """Filelist-intersect dataset scan (page ids = xml ids ∩ image ids,
+    sorted, capped; src/table_datasets.py:518-539): part keys ∩ lineitem
+    part keys, ordered, limit 100."""
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey")).distinct()
+    return (part.join(li, "p_partkey", "left_semi")
+            .orderBy("p_partkey").limit(100))
+
+
+ORACLE_DATASET_INTERSECT_SCAN = """
+SELECT p_partkey FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+ORDER BY p_partkey LIMIT 100
+"""
+
+
 def q_group_cv_stats(spark, sf_dir):
     """Coefficient-of-variation rollup (compute_statistics CV of row
     heights / column widths, src/eval.py:334-357): per order, counts and
@@ -764,6 +808,8 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "page_location_fast": q_page_location_fast,
     "group_cv_stats": q_group_cv_stats,
+    "header_flag_semijoin": q_header_flag_semijoin,
+    "dataset_intersect_scan": q_dataset_intersect_scan,
 }
 
 ORACLES = {
@@ -793,4 +839,6 @@ ORACLES = {
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
     "page_location_fast": ORACLE_PAGE_LOCATION_FAST,
     "group_cv_stats": ORACLE_GROUP_CV_STATS,
+    "header_flag_semijoin": ORACLE_HEADER_FLAG_SEMIJOIN,
+    "dataset_intersect_scan": ORACLE_DATASET_INTERSECT_SCAN,
 }
