@@ -226,6 +226,82 @@ def grits_con(true_cells, pred_cells):
                           _text_reward)
 
 
+def spanning_cell_grid_matches(spanning_cells, rows, columns):
+    """Which grid (row, col) positions each spanning cell owns, first
+    claim wins (``src/grits.py:288-337``): a row/column matches when the
+    spanning cell covers ≥50% of the strip formed by intersecting its
+    extent with that row/column; cells whose positions are already taken
+    get no matches; matched spanning cells snap to the row/column hulls.
+    """
+    from ..geometry import Box, box_area, box_intersect
+
+    matches_by_cell = []
+    taken = set()
+    for sc in spanning_cells:
+        row_hits, col_hits = set(), set()
+        for r_num, row in enumerate(rows):
+            strip = [sc["bbox"][0], row["bbox"][1],
+                     sc["bbox"][2], row["bbox"][3]]
+            sa = box_area(strip)
+            if sa > 0 and box_area(box_intersect(sc["bbox"], strip)) / sa >= 0.5:
+                row_hits.add(r_num)
+        for c_num, col in enumerate(columns):
+            strip = [col["bbox"][0], sc["bbox"][1],
+                     col["bbox"][2], sc["bbox"][3]]
+            sa = box_area(strip)
+            if sa > 0 and box_area(box_intersect(sc["bbox"], strip)) / sa >= 0.5:
+                col_hits.add(c_num)
+        this = [(r, c) for r in row_hits for c in col_hits]
+        if any(pos in taken for pos in this):
+            matches_by_cell.append([])
+            continue
+        taken.update(this)
+        matches_by_cell.append(this)
+        if this:
+            row_hull, col_hull = Box(), Box()
+            for r, _ in this:
+                row_hull.include_rect(rows[r]["bbox"])
+            for _, c in this:
+                col_hull.include_rect(columns[c]["bbox"])
+            sc["bbox"] = row_hull.intersect(col_hull).tolist()
+    return matches_by_cell
+
+
+def raw_output_to_bbox_grid(objects):
+    """GriTS_RawLoc grid from unprocessed (dilated) model boxes
+    (``src/grits.py:340-370``): rows × columns intersections, spanning
+    cells overriding the positions they claim.  Objects are
+    {label, score, bbox} with string labels."""
+    from ..geometry import Box
+
+    rows = [{"bbox": o["bbox"]} for o in objects if o["label"] == "table row"]
+    columns = [{"bbox": o["bbox"]} for o in objects
+               if o["label"] == "table column"]
+    spanning = [{"bbox": o["bbox"], "score": o.get("score", 1)}
+                for o in objects
+                if o["label"] in ("table spanning cell",
+                                  "table projected row header")]
+    rows.sort(key=lambda x: x["bbox"][1] + x["bbox"][3])
+    columns.sort(key=lambda x: x["bbox"][0] + x["bbox"][2])
+    spanning.sort(key=lambda x: -x["score"])
+
+    grid = [[Box(r["bbox"]).intersect(c["bbox"]).tolist() for c in columns]
+            for r in rows]
+    for matches, sc in zip(
+            spanning_cell_grid_matches(spanning, rows, columns), spanning):
+        for r, c in matches:
+            grid[r][c] = sc["bbox"]
+    return grid
+
+
+def grits_rawloc(true_objects, pred_objects):
+    """GriTS_RawLoc: location similarity on raw (dilated) boxes
+    (``src/eval.py:311-321``)."""
+    return factored_2dmss(raw_output_to_bbox_grid(true_objects),
+                          raw_output_to_bbox_grid(pred_objects),
+                          _iou_reward)
+
+
 def grits_from_html(true_html: str, pred_html: str) -> dict:
     """GriTS_Top + GriTS_Con for two HTML table strings
     (``src/grits.py:466-497``): parse both sides with the occupancy

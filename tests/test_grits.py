@@ -191,3 +191,41 @@ def test_table_statistics(spark):
                      if len(c.row_nums) > 1 or len(c.column_nums) > 1)
         assert s.num_spanning_cells == n_span
         assert s.row_height_cv >= 0.0
+
+
+def test_raw_bbox_grid_and_rawloc():
+    from table_transformer_spark.kernels.grits import (
+        grits_rawloc,
+        raw_output_to_bbox_grid,
+    )
+
+    objects = [
+        {"label": "table row", "score": 1.0, "bbox": [0, 0, 100, 30]},
+        {"label": "table row", "score": 1.0, "bbox": [0, 30, 100, 60]},
+        {"label": "table column", "score": 1.0, "bbox": [0, 0, 50, 60]},
+        {"label": "table column", "score": 1.0, "bbox": [50, 0, 100, 60]},
+        {"label": "table spanning cell", "score": 0.9,
+         "bbox": [0, 0, 100, 30]},
+    ]
+    grid = raw_output_to_bbox_grid(objects)
+    assert len(grid) == 2 and len(grid[0]) == 2
+    # the spanning cell claims both positions of row 0 → same bbox
+    assert grid[0][0] == grid[0][1]
+    assert grid[1][0] == [0.0, 30.0, 50.0, 60.0]
+
+    f, p, r, ub = grits_rawloc(objects, objects)
+    assert f == pytest.approx(1.0)
+
+
+def test_spanning_grid_first_claim_wins():
+    from table_transformer_spark.kernels.grits import (
+        spanning_cell_grid_matches,
+    )
+
+    rows = [{"bbox": [0, 0, 100, 30]}, {"bbox": [0, 30, 100, 60]}]
+    cols = [{"bbox": [0, 0, 50, 60]}, {"bbox": [50, 0, 100, 60]}]
+    sc1 = {"bbox": [0, 0, 100, 30], "score": 1.0}
+    sc2 = {"bbox": [0, 0, 100, 30], "score": 0.5}  # same claim, loses
+    matches = spanning_cell_grid_matches([sc1, sc2], rows, cols)
+    assert sorted(matches[0]) == [(0, 0), (0, 1)]
+    assert matches[1] == []
