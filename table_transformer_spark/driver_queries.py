@@ -601,6 +601,41 @@ FROM ranked WHERE rank <= 1
 """
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate candidates (dedup family): pairs
+    sharing the sign-bit bucket with cosine above threshold.  The
+    synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51),
+    so the threshold is set low enough to exercise the operator."""
+    from .operators.similarity import embedding_neardup_pairs
+    return embedding_neardup_pairs(load(spark, sf_dir, "embeddings"),
+                                   "vec_id", "embedding", threshold=0.35)
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+WITH keyed AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1]  >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[8]  >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[20] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[32] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[44] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[58] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS doc1, b.vec_id AS doc2,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+       / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+            * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])),
+             6) AS cos
+FROM keyed a JOIN keyed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+           * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+      >= 0.35
+"""
+
+
 def q_token_count(spark, sf_dir):
     from .operators.text_analysis import token_count_expr
     docs = load(spark, sf_dir, "documents")
@@ -802,6 +837,7 @@ QUERIES = {
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "cosine_topk_bruteforce": q_cosine_topk_bruteforce,
     "cosine_topk_lsh": q_cosine_topk_lsh,
+    "embedding_neardup": q_embedding_neardup,
     "token_count": q_token_count,
     "quality_features": q_quality_features,
     "lang_signal": q_lang_signal,
@@ -833,6 +869,7 @@ ORACLES = {
     # simhash_neardup_pairs: deliberately no oracle (non-portable hash)
     "cosine_topk_bruteforce": ORACLE_COSINE_TOPK_BRUTEFORCE,
     "cosine_topk_lsh": ORACLE_COSINE_TOPK_LSH,
+    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "token_count": ORACLE_TOKEN_COUNT,
     "quality_features": ORACLE_QUALITY_FEATURES,
     "lang_signal": ORACLE_LANG_SIGNAL,

@@ -108,6 +108,28 @@ def lsh_bucket_key(vec: Column, dims=DEFAULT_SIGN_DIMS) -> Column:
     return F.concat(*bits)
 
 
+def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                            threshold: float = 0.95,
+                            dims=DEFAULT_SIGN_DIMS) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: pairs in the same
+    sign-bit bucket with cosine ≥ threshold (the dedup-family variant of
+    the LSH search — near-dups almost always share the bucket since
+    their vectors agree on sign almost everywhere)."""
+    keyed = df.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("vec"),
+                      lsh_bucket_key(F.col(vec_col), dims).alias("bucket"))
+    a = keyed.select(F.col("vec_id").alias("doc1"),
+                     F.col("vec").alias("va"), "bucket")
+    b = keyed.select(F.col("vec_id").alias("doc2"),
+                     F.col("vec").alias("vb"),
+                     F.col("bucket").alias("bucket_b"))
+    return (a.join(b, (F.col("bucket") == F.col("bucket_b"))
+                   & (F.col("doc1") < F.col("doc2")))
+            .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= threshold)
+            .select("doc1", "doc2", F.round("cos", 6).alias("cos")))
+
+
 def lsh_bucketed_topk(df: DataFrame, id_col: str, vec_col: str,
                       k: int = 1, dims=DEFAULT_SIGN_DIMS) -> DataFrame:
     """Approximate top-k: candidates restricted to the same sign-bit
