@@ -28,6 +28,7 @@ __all__ = [
     "check_word_coverage",
     "check_structure_validity",
     "strip_markup_tags",
+    "is_portrait",
 ]
 
 
@@ -111,6 +112,28 @@ def check_structure_validity(table, edit_distance_cells=None,
     if edit_distance_cells is not None:
         if table_text_edit_distance(edit_distance_cells) > max_edit_distance:
             table["reject"].append("text annotation quality")
+
+
+def is_portrait(lines, bbox=None) -> bool:
+    """Majority vote of text-line writing directions inside *bbox*
+    (``scripts/process_pubmed.py:623-641``): a line fully inside the
+    region votes portrait when its direction is (1, 0) and landscape
+    when (0, -1); ties go to portrait.  *lines* are
+    ``{"bbox": [...], "dir": (dx, dy)}`` records (the PDF reader's
+    line metadata)."""
+    portrait = landscape = 0
+    for line in lines:
+        lb = line["bbox"]
+        if bbox is not None and not (
+                lb[0] >= bbox[0] and lb[1] >= bbox[1]
+                and lb[2] <= bbox[2] and lb[3] <= bbox[3]):
+            continue
+        dx, dy = line["dir"]
+        if dx == 1 and dy == 0:
+            portrait += 1
+        elif dx == 0 and dy == -1:
+            landscape += 1
+    return portrait >= landscape
 
 
 def strip_markup_tags(cells, key: str = "text"):

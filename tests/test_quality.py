@@ -75,3 +75,17 @@ def test_strip_markup():
     strip_markup_tags(cells)
     assert cells[0]["text"] == "a b  1 c".replace("  ", " ") or \
         "<" not in cells[0]["text"]
+
+
+def test_is_portrait_majority_vote():
+    from table_transformer_spark.kernels.quality import is_portrait
+
+    lines = [
+        {"bbox": [0, 0, 50, 10], "dir": (1, 0)},
+        {"bbox": [0, 20, 50, 30], "dir": (1, 0)},
+        {"bbox": [60, 0, 70, 50], "dir": (0, -1)},
+    ]
+    assert is_portrait(lines) is True
+    assert is_portrait(lines, bbox=[55, 0, 100, 100]) is False  # only the
+    # rotated line falls inside the region
+    assert is_portrait([]) is True  # tie → portrait
