@@ -27,6 +27,7 @@ from collections import defaultdict
 from ..geometry import Box
 
 __all__ = [
+    "complete_table_grid",
     "identify_projected_row_headers",
     "annotate_projected_row_headers",
     "merge_group",
@@ -38,6 +39,71 @@ __all__ = [
     "correct_header",
     "canonicalize",
 ]
+
+
+def complete_table_grid(table):
+    """Derive row/column/table boxes from cell-text extents and re-grid
+    every cell (``scripts/process_fintabnet.py:165-242``):
+
+    * a row's top comes from the min-y of text boxes of cells whose
+      *min* row it is; its bottom from the max-y over cells whose *max*
+      row it is (and symmetrically for column left/right);
+    * rows snap to the table's x-extent, columns to its y-extent;
+    * any boundary no cell text determined → "undetermined row/column
+      boundary" reject;
+    * each cell's grid bbox = hull(its rows) ∩ hull(its columns).
+
+    Cells carry text extents in ``bbox`` (the reference's
+    ``pdf_text_tight_bbox``); results land in ``rows[k]["bbox"]``,
+    ``columns[k]["bbox"]``, ``table["table_bbox"]`` and
+    ``cell["grid_bbox"]``.
+    """
+    row_rects = defaultdict(lambda: [None, None, None, None])
+    col_rects = defaultdict(lambda: [None, None, None, None])
+    hull = Box()
+
+    for cell in table["cells"]:
+        if not cell.get("bbox"):
+            continue
+        bbox = cell["bbox"]
+        hull.include_rect(bbox)
+        r_lo, r_hi = min(cell["row_nums"]), max(cell["row_nums"])
+        c_lo, c_hi = min(cell["column_nums"]), max(cell["column_nums"])
+        top = row_rects[r_lo][1]
+        row_rects[r_lo][1] = bbox[1] if top is None else min(top, bbox[1])
+        bot = row_rects[r_hi][3]
+        row_rects[r_hi][3] = bbox[3] if bot is None else max(bot, bbox[3])
+        left = col_rects[c_lo][0]
+        col_rects[c_lo][0] = bbox[0] if left is None else min(left, bbox[0])
+        right = col_rects[c_hi][2]
+        col_rects[c_hi][2] = bbox[2] if right is None else max(right, bbox[2])
+
+    table_bbox = hull.tolist()
+    table["table_bbox"] = table_bbox
+    for rect in row_rects.values():
+        rect[0], rect[2] = table_bbox[0], table_bbox[2]
+    for rect in col_rects.values():
+        rect[1], rect[3] = table_bbox[1], table_bbox[3]
+
+    for k in table["rows"]:
+        table["rows"][k]["bbox"] = list(row_rects[k])
+        if any(v is None for v in row_rects[k]):
+            table["reject"].append("undetermined row boundary")
+    for k in table["columns"]:
+        table["columns"][k]["bbox"] = list(col_rects[k])
+        if any(v is None for v in col_rects[k]):
+            table["reject"].append("undetermined column boundary")
+
+    if table["reject"]:
+        return
+
+    for cell in table["cells"]:
+        rows_hull, cols_hull = Box(), Box()
+        for r in cell["row_nums"]:
+            rows_hull.include_rect(table["rows"][r]["bbox"])
+        for c in cell["column_nums"]:
+            cols_hull.include_rect(table["columns"][c]["bbox"])
+        cell["grid_bbox"] = rows_hull.intersect(cols_hull).tolist()
 
 
 def identify_projected_row_headers(table):

@@ -211,3 +211,48 @@ def test_canonicalize_splits_blank_spanning_header():
     assert sorted(a["row_nums"]) == [0, 1]
     assert not any(len(c["column_nums"]) > 1 and not c["text"]
                    for c in t["cells"])
+
+
+def test_complete_table_grid():
+    from table_transformer_spark.kernels.canonicalize import (
+        complete_table_grid,
+    )
+
+    def tcell(rows, cols, bbox):
+        return {"row_nums": rows, "column_nums": cols, "text": "x",
+                "is_column_header": False, "is_projected_row_header": False,
+                "bbox": bbox}
+
+    t = make_table([
+        tcell([0], [0], [12, 5, 40, 15]),
+        tcell([0], [1], [60, 6, 90, 14]),
+        tcell([1], [0], [10, 30, 42, 40]),
+        tcell([1], [1], [61, 31, 95, 39]),
+    ], 2, 2)
+    complete_table_grid(t)
+    assert t["reject"] == []
+    assert t["table_bbox"] == [10.0, 5.0, 95.0, 40.0]
+    # row 0 spans from its min text top to its max text bottom, snapped
+    # to the table x-extent
+    assert t["rows"][0]["bbox"] == [10.0, 5, 95.0, 15]
+    assert t["columns"][1]["bbox"] == [60, 5.0, 95, 40.0]
+    # cell grid bbox = row hull ∩ column hull
+    c = next(c for c in t["cells"] if c["row_nums"] == [1]
+             and c["column_nums"] == [1])
+    assert c["grid_bbox"] == [60.0, 30.0, 95.0, 40.0]
+
+
+def test_complete_table_grid_undetermined_boundary():
+    from table_transformer_spark.kernels.canonicalize import (
+        complete_table_grid,
+    )
+
+    t = make_table([
+        {"row_nums": [0], "column_nums": [0], "text": "x", "bbox": [],
+         "is_column_header": False, "is_projected_row_header": False},
+        {"row_nums": [1], "column_nums": [0], "text": "y",
+         "bbox": [0, 10, 10, 20],
+         "is_column_header": False, "is_projected_row_header": False},
+    ], 2, 1)
+    complete_table_grid(t)
+    assert "undetermined row boundary" in t["reject"]
