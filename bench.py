@@ -20,6 +20,9 @@ import os
 import sys
 import time
 
+# importable regardless of the caller's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 EXTRACT_DOCS = int(os.environ.get("BENCH_EXTRACT_DOCS", "8000"))

@@ -22,6 +22,16 @@ def get_spark(app_name: str = "table_transformer_spark",
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
+    # make the package importable in executor Python workers regardless
+    # of the caller's cwd (local mode: workers inherit the JVM's env,
+    # which inherits ours — set before the JVM starts)
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else ""))
+
     builder = (
         SparkSession.builder
         .master(f"local[{cores}]")
