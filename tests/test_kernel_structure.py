@@ -173,3 +173,65 @@ def test_kernel_is_pure():
     before = copy.deepcopy((table, objects, tokens))
     run(table, objects, tokens)
     assert (table, objects, tokens) == before
+
+
+# -- property: vectorized slotting ≡ the reference's literal semantics ------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_coord = st.integers(min_value=0, max_value=40)
+
+
+def _box():
+    return st.tuples(_coord, _coord, _coord, _coord).map(
+        lambda t: [float(min(t[0], t[2])), float(min(t[1], t[3])),
+                   float(max(t[0], t[2]) + 1), float(max(t[1], t[3]) + 1)])
+
+
+def _slot_reference(containers, packages, overlap_threshold,
+                    unique_assignment, forced_assignment):
+    """Literal transcription of src/postprocess.py:208-248 (python
+    sorted, per-package loops) used as the property-test oracle."""
+    by_container = [[] for _ in containers]
+    by_package = [[] for _ in packages]
+    best_scores = []
+    if not containers or not packages:
+        return by_container, by_package, best_scores
+    from table_transformer_spark.geometry import box_area, box_intersect
+    for p_num, pkg in enumerate(packages):
+        area = box_area(pkg["bbox"])
+        scored = [{"container_num": c_num,
+                   "score": box_area(box_intersect(con["bbox"], pkg["bbox"]))
+                   / area}
+                  for c_num, con in enumerate(containers)]
+        scored = sorted(scored, key=lambda k: -k["score"])
+        best = scored[0]
+        best_scores.append(best["score"])
+        if forced_assignment or best["score"] >= overlap_threshold:
+            by_container[best["container_num"]].append(p_num)
+            by_package[p_num].append(best["container_num"])
+        if not unique_assignment:
+            for m in scored[1:]:
+                if m["score"] >= overlap_threshold:
+                    by_container[m["container_num"]].append(p_num)
+                    by_package[p_num].append(m["container_num"])
+                else:
+                    break
+    return by_container, by_package, best_scores
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_box(), min_size=1, max_size=6),
+       st.lists(_box(), min_size=1, max_size=8),
+       st.sampled_from([0.001, 0.25, 0.5, 0.9]),
+       st.booleans(), st.booleans())
+def test_slotting_matches_reference_semantics(cons, pkgs, tau, unique,
+                                              forced):
+    containers = [{"bbox": b} for b in cons]
+    packages = [{"bbox": b} for b in pkgs]
+    got = slot_into_containers(containers, packages, tau, unique, forced)
+    want = _slot_reference(containers, packages, tau, unique, forced)
+    assert got[0] == want[0]
+    assert got[1] == want[1]
+    assert got[2] == pytest.approx(want[2])
