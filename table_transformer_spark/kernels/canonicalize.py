@@ -27,6 +27,8 @@ from collections import defaultdict
 from ..geometry import Box
 
 __all__ = [
+    "expand_to_intersecting_blocks",
+    "fix_caption_and_footer",
     "complete_table_grid",
     "identify_projected_row_headers",
     "annotate_projected_row_headers",
@@ -39,6 +41,35 @@ __all__ = [
     "correct_header",
     "canonicalize",
 ]
+
+
+def expand_to_intersecting_blocks(bbox, block_bboxes):
+    """Grow *bbox* to the hull of itself and every page text block it
+    strictly intersects (the caption/footer expansion of
+    ``fix_caption_and_footer``, scripts/process_pubmed.py:661-694)."""
+    hull = Box(bbox)
+    for b in block_bboxes:
+        if (max(bbox[0], b[0]) < min(bbox[2], b[2])
+                and max(bbox[1], b[1]) < min(bbox[3], b[3])):
+            hull.include_rect(b)
+    return hull.tolist()
+
+
+def fix_caption_and_footer(table, block_bboxes):
+    """Expand caption/footer boxes to their intersecting text blocks and
+    grow the table-wrap box to cover them
+    (``scripts/process_pubmed.py:661-708``).  Missing keys are skipped,
+    like the reference's try/except ladder."""
+    for key in ("caption_bbox", "footer_bbox"):
+        if table.get(key):
+            table[key] = expand_to_intersecting_blocks(table[key],
+                                                       block_bboxes)
+    if table.get("table_wrap_bbox"):
+        wrap = Box(table["table_wrap_bbox"])
+        for key in ("caption_bbox", "footer_bbox"):
+            if table.get(key):
+                wrap.include_rect(table[key])
+        table["table_wrap_bbox"] = wrap.tolist()
 
 
 def complete_table_grid(table):

@@ -256,3 +256,27 @@ def test_complete_table_grid_undetermined_boundary():
     ], 2, 1)
     complete_table_grid(t)
     assert "undetermined row boundary" in t["reject"]
+
+
+def test_fix_caption_and_footer():
+    from table_transformer_spark.kernels.canonicalize import (
+        fix_caption_and_footer,
+    )
+
+    blocks = [[0, 0, 100, 12],      # intersects caption
+              [0, 50, 100, 62],     # intersects footer
+              [0, 200, 100, 212]]   # unrelated
+    t = {"caption_bbox": [10, 5, 60, 10],
+         "footer_bbox": [10, 52, 60, 58],
+         "table_wrap_bbox": [10, 15, 90, 45],
+         "reject": [], "fix": []}
+    fix_caption_and_footer(t, blocks)
+    assert t["caption_bbox"] == [0.0, 0.0, 100.0, 12.0]
+    assert t["footer_bbox"] == [0.0, 50.0, 100.0, 62.0]
+    # wrap grows to cover both
+    assert t["table_wrap_bbox"] == [0.0, 0.0, 100.0, 62.0]
+
+    # touching (no strict overlap) does not absorb
+    t2 = {"caption_bbox": [0, 12, 50, 20], "reject": [], "fix": []}
+    fix_caption_and_footer(t2, [[0, 0, 100, 12]])
+    assert t2["caption_bbox"] == [0.0, 12.0, 50.0, 20.0]
