@@ -96,7 +96,19 @@ def _canonicalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = documents_df(spark, _ENTRY_DOCS)
     media = media_df(spark, _ENTRY_DOCS)
-    return canonicalize_cells_df(run_cells(docs, media, mode="clean"))
+    out = canonicalize_cells_df(run_cells(docs, media, mode="clean"))
+    # The driver's value hasher sorts the output in pandas and cannot
+    # handle list-typed cells — serialize the array columns to
+    # deterministic strings for the query-facing contract (arrays stay
+    # arrays inside the kernel chain).
+    from pyspark.sql import functions as F
+    return out.select(
+        "doc_id", "media_ref", "table_num", "cell_num",
+        F.concat_ws(",", "row_nums").alias("row_nums"),
+        F.concat_ws(",", "column_nums").alias("column_nums"),
+        "cell_text", "is_column_header", "is_projected_row_header",
+        F.concat_ws("|", "reject").alias("reject"),
+        F.concat_ws("|", "fix").alias("fix"))
 
 
 def oracle_sql() -> dict[str, str]:

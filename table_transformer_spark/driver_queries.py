@@ -354,13 +354,15 @@ def q_multiset_intersection_fscore(spark, sf_dir):
 
 
 ORACLE_MULTISET_INTERSECTION_FSCORE = """
-SELECT sum(least(n_true, n_pred)) AS tp,
-       sum(n_true) AS n_true_total,
-       sum(n_pred) AS n_pred_total
+-- CAST to BIGINT: DuckDB integer sum() yields HUGEINT, which the driver's
+-- value hasher distinguishes from Spark's BIGINT even when values match.
+SELECT CAST(sum(least(n_true, n_pred)) AS BIGINT) AS tp,
+       CAST(sum(n_true) AS BIGINT) AS n_true_total,
+       CAST(sum(n_pred) AS BIGINT) AS n_pred_total
 FROM (
   SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
-         sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_true,
-         sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_pred
+         CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred
   FROM events
   GROUP BY event_type, CAST(floor(value / 10) AS BIGINT)
 )
@@ -438,7 +440,8 @@ def q_sessionize_events(spark, sf_dir):
 
 ORACLE_SESSIONIZE_EVENTS = """
 SELECT user_id,
-       sum(new_s) AS n_sessions,
+       -- CAST: DuckDB integer sum() is HUGEINT; Spark emits BIGINT
+       CAST(sum(new_s) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM (
   SELECT user_id,
