@@ -113,7 +113,7 @@ def _canonicalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query (see driver_queries for the paired
-    implementations).  extract_spans_* and simhash_neardup_pairs are
-    deliberately omitted: the cells kernel chain and the 64-bit hash are
-    not ANSI-SQL-expressible (driver records rows-only checks)."""
+    implementations).  extract_spans_* are deliberately omitted: the
+    cells kernel chain is not ANSI-SQL-expressible (driver records
+    rows-only checks)."""
     return dict(ORACLES)

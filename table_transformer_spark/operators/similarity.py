@@ -6,9 +6,18 @@
   sets, not the 10^12 path.
 * **LSH-bucketed top-k** — the scale path: sign-bit bucketing on fixed
   dimensions (a portable random-hyperplane degenerate), candidates only
-  join within a bucket.  Bucket count grows exponentially with bits, so
-  the per-bucket quadratic stays bounded; at real scale the same plan
-  shape works with learned/seeded hyperplanes broadcast to executors.
+  join within a bucket; **multi-band union** recovers recall (a true
+  neighbor missed by one band's bits is caught by another's).
+
+**Bucket-cardinality math** (why bits are a parameter): with ``b``
+sign bits per band over near-isotropic embeddings, expected bucket
+size is N/2^b and the within-bucket candidate join costs
+Σ nᵢ² ≈ N²/2^b per band.  Keeping per-bucket work linear in N means
+choosing b ≈ log₂(N / target_bucket_size): 12 bits (4096 buckets,
+the default here) suits 10⁵–10⁷ rows; a 100 TB corpus (N ≈ 10¹⁰)
+wants b ≈ 24–28 with seeded random hyperplanes broadcast to executors
+— same plan shape, just wider keys and more bands.  A fixed 6-bit key
+(64 buckets) re-quadratics at scale; don't hard-code it.
 
 All arithmetic is cast to double *before* multiplication so any SQL
 oracle (DuckDB) reproduces the floats bit-for-bit.
@@ -24,9 +33,18 @@ __all__ = [
     "brute_force_topk",
     "lsh_bucket_key",
     "lsh_bucketed_topk",
+    "lsh_bucket_stats",
+    "embedding_neardup_pairs",
 ]
 
-DEFAULT_SIGN_DIMS = (0, 7, 19, 31, 43, 57)
+# Two 12-bit bands over distinct dimension sets (64-dim embeddings).
+# Bits per band bound the bucket quadratic; the band union bounds the
+# recall loss — see the module docstring for the cardinality argument.
+DEFAULT_SIGN_BANDS = (
+    (0, 7, 19, 31, 43, 57, 3, 11, 23, 37, 47, 61),
+    (1, 5, 13, 17, 29, 41, 53, 59, 2, 38, 50, 62),
+)
+DEFAULT_SIGN_DIMS = DEFAULT_SIGN_BANDS[0]
 
 
 def _as_double(vec: Column) -> Column:
@@ -108,42 +126,68 @@ def lsh_bucket_key(vec: Column, dims=DEFAULT_SIGN_DIMS) -> Column:
     return F.concat(*bits)
 
 
+def _banded(df: DataFrame, id_col: str, vec_col: str, bands) -> DataFrame:
+    """(vec_id, vec, band_index bi, band_key bkey) — one row per band."""
+    structs = [F.struct(F.lit(i).alias("bi"),
+                        lsh_bucket_key(F.col(vec_col), dims).alias("bkey"))
+               for i, dims in enumerate(bands)]
+    return (df.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).alias("vec"),
+                      F.explode(F.array(*structs)).alias("band"))
+            .select("vec_id", "vec",
+                    F.col("band.bi").alias("bi"),
+                    F.col("band.bkey").alias("bkey")))
+
+
+def lsh_bucket_stats(df: DataFrame, id_col: str, vec_col: str,
+                     bands=DEFAULT_SIGN_BANDS) -> DataFrame:
+    """Bucket-size telemetry: (bi, bkey, n_vecs) histogram — run before
+    a big LSH job to verify no bucket is large enough to re-quadratic
+    the candidate join (if one is, raise bits or add a salt band)."""
+    return (_banded(df, id_col, vec_col, bands)
+            .groupBy("bi", "bkey")
+            .agg(F.count(F.lit(1)).alias("n_vecs")))
+
+
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
                             threshold: float = 0.95,
-                            dims=DEFAULT_SIGN_DIMS) -> DataFrame:
-    """Embedding-cosine near-duplicate candidates: pairs in the same
-    sign-bit bucket with cosine ≥ threshold (the dedup-family variant of
-    the LSH search — near-dups almost always share the bucket since
-    their vectors agree on sign almost everywhere)."""
-    keyed = df.select(F.col(id_col).alias("vec_id"),
-                      F.col(vec_col).alias("vec"),
-                      lsh_bucket_key(F.col(vec_col), dims).alias("bucket"))
-    a = keyed.select(F.col("vec_id").alias("doc1"),
-                     F.col("vec").alias("va"), "bucket")
-    b = keyed.select(F.col("vec_id").alias("doc2"),
-                     F.col("vec").alias("vb"),
-                     F.col("bucket").alias("bucket_b"))
-    return (a.join(b, (F.col("bucket") == F.col("bucket_b"))
-                   & (F.col("doc1") < F.col("doc2")))
-            .withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+                            bands=DEFAULT_SIGN_BANDS) -> DataFrame:
+    """Embedding-cosine near-duplicate candidates: pairs sharing any
+    sign-bit band key with cosine ≥ threshold (the dedup-family variant
+    of the LSH search — near-dups agree on sign almost everywhere, so
+    each band catches them with high probability and the band union
+    compounds the recall)."""
+    banded = _banded(df, id_col, vec_col, bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.bi") == F.col("b.bi"))
+                   & (F.col("a.bkey") == F.col("b.bkey"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            # a pair may collide in several bands — dedupe candidates
+            .groupBy(F.col("a.vec_id").alias("doc1"),
+                     F.col("b.vec_id").alias("doc2"))
+            .agg(F.first(F.col("a.vec")).alias("va"),
+                 F.first(F.col("b.vec")).alias("vb")))
+    return (cand.withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
             .filter(F.col("cos") >= threshold)
             .select("doc1", "doc2", F.round("cos", 6).alias("cos")))
 
 
 def lsh_bucketed_topk(df: DataFrame, id_col: str, vec_col: str,
-                      k: int = 1, dims=DEFAULT_SIGN_DIMS) -> DataFrame:
-    """Approximate top-k: candidates restricted to the same sign-bit
-    bucket; same output shape as :func:`brute_force_topk`."""
-    keyed = df.select(F.col(id_col).alias("vec_id"),
-                      F.col(vec_col).alias("vec"),
-                      lsh_bucket_key(F.col(vec_col), dims).alias("bucket"))
-    a = keyed.select(F.col("vec_id"), F.col("vec").alias("va"), "bucket")
-    b = keyed.select(F.col("vec_id").alias("neighbor_id"),
-                     F.col("vec").alias("vb"),
-                     F.col("bucket").alias("bucket_b"))
-    pairs = (a.join(b, (F.col("bucket") == F.col("bucket_b"))
-                    & (F.col("vec_id") != F.col("neighbor_id")))
-             .withColumn("cos", cosine_expr(F.col("va"), F.col("vb"))))
+                      k: int = 1, bands=DEFAULT_SIGN_BANDS) -> DataFrame:
+    """Approximate top-k: candidates restricted to pairs sharing at
+    least one sign-bit band key; same output shape as
+    :func:`brute_force_topk` (vectors in empty buckets yield no rows —
+    approximate by design)."""
+    banded = _banded(df, id_col, vec_col, bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.bi") == F.col("b.bi"))
+                   & (F.col("a.bkey") == F.col("b.bkey"))
+                   & (F.col("a.vec_id") != F.col("b.vec_id")))
+            .groupBy(F.col("a.vec_id").alias("vec_id"),
+                     F.col("b.vec_id").alias("neighbor_id"))
+            .agg(F.first(F.col("a.vec")).alias("va"),
+                 F.first(F.col("b.vec")).alias("vb")))
+    pairs = cand.withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(),
                                              F.col("neighbor_id").asc())
     return (pairs.withColumn("rank", F.row_number().over(w))

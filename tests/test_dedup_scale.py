@@ -1,0 +1,131 @@
+"""Scale-shape guarantees of the dedup/similarity operators:
+
+* SimHash pigeonhole banding is an *exact* optimization — pairs equal
+  the naive all-pairs Hamming filter, and the candidate join is on
+  band keys, never a block-wide cross product.
+* n-gram df-cap drops hot grams from candidate generation (pairs that
+  rely only on a hot gram disappear; rare-gram pairs survive).
+* LSH band keys are parameterized (bits/bands) with bucket telemetry.
+"""
+
+import itertools
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from table_transformer_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+    simhash_udf,
+)
+from table_transformer_spark.operators.similarity import (
+    lsh_bucket_stats,
+    lsh_bucketed_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # long shared prefix (stable majority votes) + one differing token
+    # → small Hamming distance between the first two docs
+    common = " ".join(f"tok{i}" for i in range(60))
+    base = [
+        common + " dog",
+        common + " cat",
+        "a completely different sentence about spark engines",
+        "a completely different sentence about spark planners",
+        "unrelated text with unique words entirely separate",
+    ]
+    rows = [(i, "blk", t) for i, t in enumerate(base)]
+    # second block: copies → cross-block pairs must never appear
+    rows += [(100 + i, "blk2", t) for i, t in enumerate(base)]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_simhash_banding_equals_naive(spark, docs):
+    out = (simhash_neardup_pairs(docs, "doc_id", "text", "source",
+                                 max_hamming=3)
+           .orderBy("doc1", "doc2").collect())
+    # naive reference: per-doc signature, all pairs within block
+    sigs = (docs.select("doc_id", "source",
+                        simhash_udf("text").alias("sig")).collect())
+    naive = []
+    for a, b in itertools.combinations(sorted(sigs, key=lambda r: r.doc_id), 2):
+        if a.source != b.source:
+            continue
+        ham = bin((a.sig ^ b.sig) & 0xFFFFFFFFFFFFFFFF).count("1")
+        if ham <= 3:
+            naive.append((a.doc_id, b.doc_id, ham))
+    got = [(r.doc1, r.doc2, r.hamming) for r in out]
+    assert sorted(got) == sorted(naive)
+    assert len(got) > 0  # the near-identical sentence pairs must hit
+
+
+def test_simhash_join_is_banded_not_cross(spark, docs):
+    df = simhash_neardup_pairs(docs, "doc_id", "text", "source",
+                               max_hamming=3)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bv" in plan and "bi" in plan  # band key join attributes
+    assert "Cartesian" not in plan
+
+
+def test_simhash_empty_doc_signature_zero(spark):
+    d = spark.createDataFrame(
+        [(1, "b", ""), (2, "b", "   "), (3, "b", "hello world")],
+        "doc_id long, source string, text string")
+    sigs = {r.doc_id: r.sig
+            for r in d.select("doc_id", simhash_udf("text").alias("sig")).collect()}
+    assert sigs[1] == 0
+    # whitespace-only: split() drops empties → no tokens → 0
+    assert sigs[2] == 0
+    assert sigs[3] != 0
+
+
+def test_ngram_df_cap_drops_hot_gram_pairs(spark):
+    # "hot hot" gram shared by 6 docs (df=6); with max_df=5 those six
+    # docs share nothing else → no pairs.  Two docs share 3 rare grams
+    # → their pair survives any cap ≥ 2.
+    hot = [(i, "blk", f"hot hot filler{i} x{i} y{i} z{i} w{i}")
+           for i in range(6)]
+    rare = [(10, "blk", "alpha beta gamma delta"),
+            (11, "blk", "alpha beta gamma delta")]
+    df = spark.createDataFrame(hot + rare,
+                               "doc_id long, source string, text string")
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", "source",
+                                 n=2, min_intersection=1, max_df=5)
+    got = {(r.doc1, r.doc2) for r in capped.collect()}
+    assert got == {(10, 11)}
+    # without the cap the hot-gram pairs appear
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", "source",
+                                   n=2, min_intersection=1, max_df=10**6)
+    assert len(uncapped.collect()) == 15 + 1  # C(6,2) hot + 1 rare
+
+
+def test_ngram_jaccard_counts_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "b", "a b c d"), (2, "b", "a b c e")],
+        "doc_id long, source string, text string")
+    [r] = ngram_jaccard_pairs(df, "doc_id", "text", "source",
+                              n=2, min_intersection=1).collect()
+    # grams: {a b, b c, c d} vs {a b, b c, c e} → ∩=2, ∪=4
+    assert (r.doc1, r.doc2, r.n_common, r.n_union, r.is_neardup) == \
+        (1, 2, 2, 4, 1)
+
+
+def test_lsh_bands_parameterized_and_telemetry(spark):
+    rows = [(i, [float(1 if (i + j) % 3 else -1) for j in range(8)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    bands = ((0, 1), (2, 3))  # tiny 2-bit bands → guaranteed collisions
+    stats = lsh_bucket_stats(df, "vec_id", "embedding", bands=bands)
+    pdf = stats.toPandas()
+    assert set(pdf["bi"]) == {0, 1}
+    assert pdf["n_vecs"].sum() == 80  # 40 vecs × 2 bands
+    assert (pdf.groupby("bi")["n_vecs"].sum() == 40).all()
+    topk = lsh_bucketed_topk(df, "vec_id", "embedding", k=1, bands=bands)
+    out = topk.toPandas()
+    # 2-bit buckets over 40 vectors: everyone has a candidate
+    assert len(out) == 40
+    assert (out["rank"] == 1).all()
