@@ -896,6 +896,202 @@ FROM lineitem GROUP BY l_orderkey
 
 
 # ---------------------------------------------------------------------------
+# PDF-coordinate locate family (planted-page fixtures)
+#
+# Pages are planted deterministically from the documents table: word i
+# sits on a 10-words-per-line grid (offset keeps every coordinate > 0,
+# clear of the reference's falsy-0.0 aggregation quirk).  The Spark
+# query runs the REAL char-DP alignment (locate_table/locate_caption);
+# the oracle computes the expected hulls directly from the planted
+# geometry — they agree iff the alignment anchors exactly the planted
+# words.
+# ---------------------------------------------------------------------------
+
+_PLANT_FILTER = "doc_id % 20 = 0 AND len(string_split(text, ' ')) >= 29"
+
+
+def _planted_words(toks):
+    return F.transform(toks, lambda x, i: F.struct(
+        x.alias("text"),
+        (F.lit(10.0) + (i % 10).cast("double") * 50.0).alias("x0"),
+        (F.lit(20.0) + F.floor(i / 10).cast("double") * 12.0).alias("y0"),
+        (F.lit(55.0) + (i % 10).cast("double") * 50.0).alias("x1"),
+        (F.lit(30.0) + F.floor(i / 10).cast("double") * 12.0).alias("y1")))
+
+
+def _planted_docs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.filter((F.col("doc_id") % 20 == 0)
+                       & (F.size(toks) >= 29))
+
+
+def q_locate_table_cells(spark, sf_dir):
+    """Full locate_table fan-out (char-DP alignment → per-cell word
+    votes → cell hulls; scripts/process_pubmed.py:490-569) over planted
+    3×4 tables (two words per cell, words 5..28 of each page)."""
+    from .operators.locate_df import locate_cells_df
+
+    toks = F.split("text", " ")
+    cells = F.array(*[
+        F.struct(
+            F.concat_ws(" ", F.element_at(toks, 6 + 2 * k),
+                        F.element_at(toks, 7 + 2 * k)).alias("text"),
+            F.array(F.lit(k // 4)).alias("row_nums"),
+            F.array(F.lit(k % 4)).alias("column_nums"))
+        for k in range(12)])
+    tables = (_planted_docs(spark, sf_dir)
+              .select("doc_id", F.lit(0).alias("table_num"),
+                      _planted_words(toks).alias("words"),
+                      cells.alias("cells")))
+    return locate_cells_df(tables)
+
+
+ORACLE_LOCATE_TABLE_CELLS = f"""
+WITH sel AS (
+  SELECT doc_id FROM documents WHERE {_PLANT_FILTER}
+),
+ks AS (SELECT unnest(range(12)) AS k),
+geo AS (
+  SELECT doc_id, k, 5 + 2*k AS a, 6 + 2*k AS b FROM sel CROSS JOIN ks
+)
+SELECT doc_id, CAST(0 AS INT) AS table_num, CAST(k AS INT) AS cell_num,
+       CAST(k // 4 AS INT) AS row_lo, CAST(k // 4 AS INT) AS row_hi,
+       CAST(k % 4 AS INT) AS col_lo, CAST(k % 4 AS INT) AS col_hi,
+       CAST(10.0 + least(a % 10, b % 10) * 50.0 AS DOUBLE) AS x0,
+       CAST(20.0 + (a // 10) * 12.0 AS DOUBLE) AS y0,
+       CAST(55.0 + greatest(a % 10, b % 10) * 50.0 AS DOUBLE) AS x1,
+       CAST(30.0 + (b // 10) * 12.0 AS DOUBLE) AS y1
+FROM geo
+"""
+
+
+def q_locate_caption_hull(spark, sf_dir):
+    """locate_caption (scripts/process_pubmed.py:572-620): hull of the
+    page words matching the caption (planted as words 8..12)."""
+    from .operators.locate_df import locate_caption_df
+
+    toks = F.split("text", " ")
+    pages = (_planted_docs(spark, sf_dir)
+             .select("doc_id", _planted_words(toks).alias("words"),
+                     F.concat_ws(" ", F.slice(toks, 9, 5)).alias("caption")))
+    return locate_caption_df(pages)
+
+
+ORACLE_LOCATE_CAPTION_HULL = f"""
+-- words 8..12: 8,9 end line 0; 10,11,12 start line 1
+SELECT doc_id, CAST(5 AS INT) AS n_inliers,
+       10.0::DOUBLE AS x0, 20.0::DOUBLE AS y0,
+       505.0::DOUBLE AS x1, 42.0::DOUBLE AS y1
+FROM documents WHERE {_PLANT_FILTER}
+"""
+
+
+def q_aggregate_cell_boundaries(spark, sf_dir):
+    """aggregate_cell_bboxes (scripts/process_pubmed.py:890-1018) as
+    column algebra over the located cell hulls: per-row/per-column
+    boundary boxes snapped to the table extent."""
+    from .operators.locate_df import aggregate_boundaries_df
+
+    return aggregate_boundaries_df(q_locate_table_cells(spark, sf_dir))
+
+
+ORACLE_AGGREGATE_CELL_BOUNDARIES = f"""
+WITH sel AS (
+  SELECT doc_id FROM documents WHERE {_PLANT_FILTER}
+),
+ks AS (SELECT unnest(range(12)) AS k),
+hull AS (
+  SELECT doc_id, k, CAST(k // 4 AS INT) AS r, CAST(k % 4 AS INT) AS c,
+         CAST(10.0 + least((5+2*k) % 10, (6+2*k) % 10) * 50.0 AS DOUBLE) AS x0,
+         CAST(20.0 + ((5+2*k) // 10) * 12.0 AS DOUBLE) AS y0,
+         CAST(55.0 + greatest((5+2*k) % 10, (6+2*k) % 10) * 50.0 AS DOUBLE) AS x1,
+         CAST(30.0 + ((6+2*k) // 10) * 12.0 AS DOUBLE) AS y1
+  FROM sel CROSS JOIN ks
+),
+tb AS (
+  SELECT doc_id, min(x0) AS tx0, min(y0) AS ty0,
+         max(x1) AS tx1, max(y1) AS ty1
+  FROM hull GROUP BY doc_id
+)
+SELECT h.doc_id, CAST(0 AS INT) AS table_num, 'row' AS kind, r AS idx,
+       tx0 AS x0, min(h.y0) AS y0, tx1 AS x1, max(h.y1) AS y1
+FROM hull h JOIN tb ON tb.doc_id = h.doc_id
+GROUP BY h.doc_id, r, tx0, tx1
+UNION ALL
+SELECT h.doc_id, CAST(0 AS INT) AS table_num, 'col' AS kind, c AS idx,
+       min(h.x0) AS x0, ty0 AS y0, max(h.x1) AS x1, ty1 AS y1
+FROM hull h JOIN tb ON tb.doc_id = h.doc_id
+GROUP BY h.doc_id, c, ty0, ty1
+"""
+
+
+def q_standardize_xml_annotation(spark, sf_dir):
+    """standardize_and_fix_xml_annotation
+    (scripts/process_pubmed.py:768-887) over planted 4×3 tables: row-0
+    colspan forces the header, the header ends at the first supercell-
+    free row, and the body PRH row's blank cells are absorbed into its
+    first cell."""
+    from .operators.canonicalize_df import standardize_tables_df
+
+    toks = F.split("text", " ")
+
+    def cell(text_col, rows, cols, y_row):
+        x0 = 10.0 + 100.0 * min(cols)
+        x1 = 10.0 + 100.0 * max(cols) + 90.0
+        y0 = 10.0 + 20.0 * y_row
+        return F.struct(
+            text_col.alias("text"),
+            F.array(*[F.lit(r) for r in rows]).alias("row_nums"),
+            F.array(*[F.lit(c) for c in cols]).alias("column_nums"),
+            F.lit(False).alias("is_column_header"),
+            F.lit(x0).alias("x0"), F.lit(y0).alias("y0"),
+            F.lit(x1).alias("x1"), F.lit(y0 + 15.0).alias("y1"))
+
+    w = [F.element_at(toks, i) for i in range(6, 15)]  # words 5..13
+    cells = F.array(
+        cell(w[0], [0], [0, 1], 0), cell(w[1], [0], [2], 0),
+        cell(w[2], [1], [0], 1), cell(w[3], [1], [1], 1),
+        cell(w[4], [1], [2], 1),
+        cell(w[5], [2], [0], 2), cell(F.lit(""), [2], [1], 2),
+        cell(F.lit(""), [2], [2], 2),
+        cell(w[6], [3], [0], 3), cell(w[7], [3], [1], 3),
+        cell(w[8], [3], [2], 3))
+    tables = (_planted_docs(spark, sf_dir)
+              .select("doc_id", cells.alias("cells")))
+    return standardize_tables_df(tables)
+
+
+ORACLE_STANDARDIZE_XML_ANNOTATION = f"""
+-- expected output of the standardize chain on the planted 4×3 shape:
+-- row-0 colspan → rows 0-1 header; row 2 blanks absorbed into its
+-- first cell which becomes a full-width projected row header.
+WITH sel AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE {_PLANT_FILTER}
+),
+cells(cell_num, row_nums, column_nums, widx, hdr, prh, x0, y0, x1, y1) AS (
+  VALUES
+    (0, '0', '0,1', 6,  true,  false, 10.0, 10.0, 200.0, 25.0),
+    (1, '0', '2',   7,  true,  false, 210.0, 10.0, 300.0, 25.0),
+    (2, '1', '0',   8,  true,  false, 10.0, 30.0, 100.0, 45.0),
+    (3, '1', '1',   9,  true,  false, 110.0, 30.0, 200.0, 45.0),
+    (4, '1', '2',   10, true,  false, 210.0, 30.0, 300.0, 45.0),
+    (5, '2', '0,1,2', 11, false, true, 10.0, 50.0, 300.0, 65.0),
+    (6, '3', '0',   12, false, false, 10.0, 70.0, 100.0, 85.0),
+    (7, '3', '1',   13, false, false, 110.0, 70.0, 200.0, 85.0),
+    (8, '3', '2',   14, false, false, 210.0, 70.0, 300.0, 85.0)
+)
+SELECT doc_id, CAST(cell_num AS INT) AS cell_num, row_nums, column_nums,
+       w[widx] AS cell_text, hdr AS is_column_header,
+       prh AS is_projected_row_header,
+       x0::DOUBLE AS x0, y0::DOUBLE AS y0,
+       x1::DOUBLE AS x1, y1::DOUBLE AS y1
+FROM sel CROSS JOIN cells
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -929,6 +1125,10 @@ QUERIES = {
     "group_cv_stats": q_group_cv_stats,
     "header_flag_semijoin": q_header_flag_semijoin,
     "dataset_intersect_scan": q_dataset_intersect_scan,
+    "locate_table_cells": q_locate_table_cells,
+    "locate_caption_hull": q_locate_caption_hull,
+    "aggregate_cell_boundaries": q_aggregate_cell_boundaries,
+    "standardize_xml_annotation": q_standardize_xml_annotation,
 }
 
 ORACLES = {
@@ -961,4 +1161,8 @@ ORACLES = {
     "group_cv_stats": ORACLE_GROUP_CV_STATS,
     "header_flag_semijoin": ORACLE_HEADER_FLAG_SEMIJOIN,
     "dataset_intersect_scan": ORACLE_DATASET_INTERSECT_SCAN,
+    "locate_table_cells": ORACLE_LOCATE_TABLE_CELLS,
+    "locate_caption_hull": ORACLE_LOCATE_CAPTION_HULL,
+    "aggregate_cell_boundaries": ORACLE_AGGREGATE_CELL_BOUNDARIES,
+    "standardize_xml_annotation": ORACLE_STANDARDIZE_XML_ANNOTATION,
 }

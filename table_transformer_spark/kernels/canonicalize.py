@@ -40,6 +40,7 @@ __all__ = [
     "merge_spanning_cells_in_first_column",
     "correct_header",
     "canonicalize",
+    "standardize_and_fix_xml_annotation",
 ]
 
 
@@ -583,3 +584,142 @@ def canonicalize(table):
 
     # 5. first-column spanning-cell runs
     merge_spanning_cells_in_first_column(table)
+
+
+def standardize_and_fix_xml_annotation(table):
+    """PubMed-chain header inference, projected-row-header labeling, and
+    blank-cell absorption (``scripts/process_pubmed.py:768-887``).
+
+    Runs after location/aggregation, so cells carry expanded ``bbox``es;
+    a missing bbox aborts that cell's merge, mirroring the reference's
+    try/except.  Six passes, in reference order:
+
+    1. a colspan>1 cell in row 0 forces every row-0 cell to header;
+    2. headers end at the first row whose cell count (blank cells count
+       their colspan, non-blank count 1) equals ``num_columns``;
+    3. a blank first column extends the header down to the first
+       non-blank first-column row;
+    4. body rows whose only content sits in the first cell absorb their
+       blank single-row cells into that cell (pre-PRH merge);
+    5. body cells spanning every column are labeled projected row
+       headers;
+    6. blank first-column cells join the nearest content cell above
+       (same columns + same header status required).
+    """
+    cells = table["cells"]
+    num_rows = table.get("num_rows",
+                         1 + max((r for c in cells for r in c["row_nums"]),
+                                 default=-1))
+    num_columns = table.get(
+        "num_columns",
+        1 + max((c2 for c in cells for c2 in c["column_nums"]), default=-1))
+
+    def blank(cell):
+        return len(cell["text"].strip()) == 0
+
+    # --- 1. row-0 colspan forces header ---
+    if any(0 in c["row_nums"] and len(c["column_nums"]) > 1 for c in cells):
+        for c in cells:
+            if 0 in c["row_nums"]:
+                c["is_column_header"] = True
+
+    # --- 2. headers end with a row with no supercells ---
+    cell_counts_by_row = defaultdict(int)
+    header_status_by_row = defaultdict(bool)
+    for c in cells:
+        n = len(c["column_nums"]) if blank(c) else 1
+        for r in c["row_nums"]:
+            cell_counts_by_row[r] += n
+            if c["is_column_header"]:
+                header_status_by_row[r] = True
+    true_header_rows = set()
+    if header_status_by_row[0]:
+        for r in range(num_rows):
+            true_header_rows.add(r)
+            if cell_counts_by_row[r] == num_columns:
+                break
+    for c in cells:
+        c["is_column_header"] = bool(set(c["row_nums"]) & true_header_rows)
+
+    # --- 3. blank first column extends the header ---
+    min_nonblank_first_col_row = num_rows
+    header_rows = set()
+    for c in cells:
+        if c["is_column_header"]:
+            header_rows.update(c["row_nums"])
+        if 0 in c["column_nums"] and not blank(c):
+            min_nonblank_first_col_row = min(min_nonblank_first_col_row,
+                                             min(c["row_nums"]))
+    if header_rows and min_nonblank_first_col_row > max(header_rows) + 1:
+        header_rows = set(range(min_nonblank_first_col_row))
+    for c in cells:
+        if header_rows & set(c["row_nums"]):
+            c["is_column_header"] = True
+
+    # --- 4. absorb blank body cells into the row's first cell ---
+    non_prh_row = defaultdict(bool)
+    first_cell_by_row = {}
+    for c in cells:
+        if (not c["is_column_header"] and not blank(c)
+                and min(c["column_nums"]) > 0 and len(c["row_nums"]) == 1):
+            non_prh_row[c["row_nums"][0]] = True
+        elif (not blank(c) and min(c["column_nums"]) == 0
+              and len(c["row_nums"]) == 1):
+            first_cell_by_row[c["row_nums"][0]] = c
+    to_delete = []
+    for c in cells:
+        if (not c["is_column_header"] and blank(c)
+                and min(c["column_nums"]) > 0 and len(c["row_nums"]) == 1):
+            r = c["row_nums"][0]
+            if non_prh_row[r]:
+                continue
+            target = first_cell_by_row.get(r)
+            if target is None:
+                continue
+            try:
+                merged_bbox = Box(target["bbox"]).include_rect(
+                    c["bbox"]).tolist()
+            except Exception:
+                continue  # reference: bbox failure aborts the merge
+            target["bbox"] = merged_bbox
+            target["column_nums"] = sorted(set(target["column_nums"])
+                                           | set(c["column_nums"]))
+            to_delete.append(c)
+    for c in to_delete:
+        cells.remove(c)
+
+    # --- 5. label projected row headers ---
+    for c in cells:
+        c["is_projected_row_header"] = (
+            not c["is_column_header"]
+            and len(c["column_nums"]) == num_columns)
+
+    # --- 6. blank first-column cells join the content cell above ---
+    content_above = {}
+    for c in cells:
+        if 0 in c["column_nums"] and not blank(c):
+            for r in c["row_nums"]:
+                content_above[r] = c
+    to_delete = []
+    for c in cells:
+        if 0 in c["column_nums"] and blank(c):
+            target = None
+            for r in range(min(c["row_nums"]) - 1, -1, -1):
+                if r in content_above:
+                    target = content_above[r]
+                    break
+            if target is None:
+                continue
+            if not (set(target["column_nums"]) == set(c["column_nums"])
+                    and target["is_column_header"] == c["is_column_header"]):
+                continue
+            target["row_nums"] = sorted(set(target["row_nums"])
+                                        | set(c["row_nums"]))
+            try:
+                target["bbox"] = Box(target["bbox"]).include_rect(
+                    c["bbox"]).tolist()
+            except Exception:
+                pass  # reference: bbox failure here still merges
+            to_delete.append(c)
+    for c in to_delete:
+        cells.remove(c)

@@ -98,3 +98,63 @@ def canonicalize_cells_df(cells: DataFrame) -> DataFrame:
     return (cells
             .groupBy("doc_id", "media_ref", "table_num")
             .applyInPandas(_kernel, schema=CANONICAL_SCHEMA))
+
+
+STANDARDIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("cell_num", T.IntegerType()),
+    T.StructField("row_nums", T.StringType()),
+    T.StructField("column_nums", T.StringType()),
+    T.StructField("cell_text", T.StringType()),
+    T.StructField("is_column_header", T.BooleanType()),
+    T.StructField("is_projected_row_header", T.BooleanType()),
+    T.StructField("x0", T.DoubleType()),
+    T.StructField("y0", T.DoubleType()),
+    T.StructField("x1", T.DoubleType()),
+    T.StructField("y1", T.DoubleType()),
+])
+
+
+def _standardize_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..kernels.canonicalize import standardize_and_fix_xml_annotation
+
+    rows = []
+    for rec in pdf.itertuples(index=False):
+        cells = [{"text": c["text"],
+                  "row_nums": list(c["row_nums"]),
+                  "column_nums": list(c["column_nums"]),
+                  "is_column_header": bool(c["is_column_header"]),
+                  "bbox": [c["x0"], c["y0"], c["x1"], c["y1"]]}
+                 for c in rec.cells]
+        table = {"cells": cells}
+        standardize_and_fix_xml_annotation(table)
+        ordered = sorted(table["cells"],
+                         key=lambda c: (min(c["row_nums"]),
+                                        min(c["column_nums"])))
+        for i, c in enumerate(ordered):
+            rows.append({
+                "doc_id": key[0], "cell_num": i,
+                "row_nums": ",".join(map(str, sorted(c["row_nums"]))),
+                "column_nums": ",".join(map(str, sorted(c["column_nums"]))),
+                "cell_text": c["text"],
+                "is_column_header": bool(c["is_column_header"]),
+                "is_projected_row_header":
+                    bool(c.get("is_projected_row_header")),
+                "x0": c["bbox"][0], "y0": c["bbox"][1],
+                "x1": c["bbox"][2], "y1": c["bbox"][3],
+            })
+    out = pd.DataFrame(rows)
+    if out.empty:
+        out = pd.DataFrame({f.name: pd.Series(dtype=object)
+                            for f in STANDARDIZED_SCHEMA})
+    return out
+
+
+def standardize_tables_df(tables: DataFrame) -> DataFrame:
+    """(doc_id, cells array<struct<text,row_nums,column_nums,
+    is_column_header,x0,y0,x1,y1>>) → standardized cells, one row each
+    (``standardize_and_fix_xml_annotation``,
+    scripts/process_pubmed.py:768-887)."""
+    return (tables.groupBy("doc_id")
+            .applyInPandas(_standardize_kernel,
+                           schema=STANDARDIZED_SCHEMA))

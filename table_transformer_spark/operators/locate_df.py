@@ -1,0 +1,167 @@
+"""DataFrame drivers for the locate family.
+
+* :func:`locate_cells_df` — per-table char-alignment fan-out
+  (``locate_table``, scripts/process_pubmed.py:490-569) as an
+  ``applyInPandas`` kernel: each (doc, table) group carries the page's
+  words and the table's cells; output is one row per cell with its
+  anchored hull (nulls when nothing anchored).  The DP alignment is
+  inherently per-document sequential — Spark parallelizes across
+  documents, which is exactly how the reference's process pool used it
+  (one table per worker).
+* :func:`locate_caption_df` — same shape for captions
+  (``locate_caption``, scripts/process_pubmed.py:572-620), one hull row
+  per (doc, table).
+* :func:`aggregate_boundaries_df` — ``aggregate_cell_bboxes``
+  (scripts/process_pubmed.py:890-1018) as pure column algebra: three
+  groupBy min/max passes + broadcast-joined snapping, no Python in the
+  loop.  The kernel twin (:mod:`..kernels.locate`) replicates the
+  reference's falsy-0.0 quirk; this scale path uses plain min/max
+  (identical results whenever no coordinate is exactly 0.0 — planted
+  layouts keep an offset to stay clear of it).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels.locate import locate_caption, locate_table
+
+__all__ = [
+    "locate_cells_df",
+    "locate_caption_df",
+    "aggregate_boundaries_df",
+]
+
+LOCATED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("table_num", T.IntegerType()),
+    T.StructField("cell_num", T.IntegerType()),
+    T.StructField("row_lo", T.IntegerType()),
+    T.StructField("row_hi", T.IntegerType()),
+    T.StructField("col_lo", T.IntegerType()),
+    T.StructField("col_hi", T.IntegerType()),
+    T.StructField("x0", T.DoubleType()),
+    T.StructField("y0", T.DoubleType()),
+    T.StructField("x1", T.DoubleType()),
+    T.StructField("y1", T.DoubleType()),
+])
+
+
+def _locate_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for rec in pdf.itertuples(index=False):
+        words = [{"text": w["text"],
+                  "bbox": [w["x0"], w["y0"], w["x1"], w["y1"]]}
+                 for w in rec.words]
+        cells = [{"xml_text_content": c["text"],
+                  "row_nums": list(c["row_nums"]),
+                  "column_nums": list(c["column_nums"])}
+                 for c in rec.cells]
+        cell_bboxes, _ = locate_table(words, cells)
+        for i, c in enumerate(cells):
+            bbox = (cell_bboxes or {}).get(i)
+            rows.append({
+                "doc_id": key[0], "table_num": int(key[1]), "cell_num": i,
+                "row_lo": min(c["row_nums"]), "row_hi": max(c["row_nums"]),
+                "col_lo": min(c["column_nums"]),
+                "col_hi": max(c["column_nums"]),
+                "x0": bbox[0] if bbox else None,
+                "y0": bbox[1] if bbox else None,
+                "x1": bbox[2] if bbox else None,
+                "y1": bbox[3] if bbox else None,
+            })
+    out = pd.DataFrame(rows)
+    if out.empty:
+        out = pd.DataFrame({f.name: pd.Series(dtype=object)
+                            for f in LOCATED_SCHEMA})
+    return out
+
+
+def locate_cells_df(tables_with_words: DataFrame) -> DataFrame:
+    """(doc_id, table_num, words, cells) → one located row per cell.
+
+    *words*: ``array<struct<text,x0,y0,x1,y1>>`` in reading order;
+    *cells*: ``array<struct<text,row_nums,column_nums>>``.
+    """
+    return (tables_with_words
+            .groupBy("doc_id", "table_num")
+            .applyInPandas(_locate_kernel, schema=LOCATED_SCHEMA))
+
+
+CAPTION_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_inliers", T.IntegerType()),
+    T.StructField("x0", T.DoubleType()),
+    T.StructField("y0", T.DoubleType()),
+    T.StructField("x1", T.DoubleType()),
+    T.StructField("y1", T.DoubleType()),
+])
+
+
+def _caption_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for rec in pdf.itertuples(index=False):
+        words = [{"text": w["text"],
+                  "bbox": [w["x0"], w["y0"], w["x1"], w["y1"]]}
+                 for w in rec.words]
+        bbox, inliers = locate_caption(words, rec.caption)
+        rows.append({
+            "doc_id": key[0], "n_inliers": len(inliers),
+            "x0": bbox[0] if bbox else None,
+            "y0": bbox[1] if bbox else None,
+            "x1": bbox[2] if bbox else None,
+            "y1": bbox[3] if bbox else None,
+        })
+    out = pd.DataFrame(rows)
+    if out.empty:
+        out = pd.DataFrame({f.name: pd.Series(dtype=object)
+                            for f in CAPTION_SCHEMA})
+    return out
+
+
+def locate_caption_df(pages_with_captions: DataFrame) -> DataFrame:
+    """(doc_id, words, caption) → one hull row per doc."""
+    return (pages_with_captions
+            .groupBy("doc_id")
+            .applyInPandas(_caption_kernel, schema=CAPTION_SCHEMA))
+
+
+def aggregate_boundaries_df(located: DataFrame) -> DataFrame:
+    """Located cells → per-row/per-column boundary boxes, snapped to the
+    table extent (non-rotated path of ``aggregate_cell_bboxes``).
+
+    Input: :data:`LOCATED_SCHEMA` rows.  Output: one row per boundary —
+    (doc_id, table_num, kind 'row'|'col', idx, x0, y0, x1, y1).
+    Three shuffles on (doc_id, table_num[, idx]) — each a partial-agg
+    min/max, so the plan is a map-side-combined scan at any scale.
+    """
+    keys = ["doc_id", "table_num"]
+    with_bbox = located.filter(F.col("x0").isNotNull())
+    table_bb = (with_bbox.groupBy(*keys)
+                .agg(F.min("x0").alias("tx0"), F.min("y0").alias("ty0"),
+                     F.max("x1").alias("tx1"), F.max("y1").alias("ty1")))
+    # a row's top comes from cells whose min-row it is; bottom from
+    # cells whose max-row it is (reference lines 950-963)
+    row_top = (with_bbox.groupBy(*keys, F.col("row_lo").alias("idx"))
+               .agg(F.min("y0").alias("y0")))
+    row_bot = (with_bbox.groupBy(*keys, F.col("row_hi").alias("idx"))
+               .agg(F.max("y1").alias("y1")))
+    rows = (row_top.join(row_bot, keys + ["idx"], "outer")
+            .join(table_bb, keys)
+            .select(*keys, F.lit("row").alias("kind"), "idx",
+                    F.col("tx0").alias("x0"), "y0",
+                    F.col("tx1").alias("x1"), "y1"))
+    col_left = (with_bbox.groupBy(*keys, F.col("col_lo").alias("idx"))
+                .agg(F.min("x0").alias("x0")))
+    col_right = (with_bbox.groupBy(*keys, F.col("col_hi").alias("idx"))
+                 .agg(F.max("x1").alias("x1")))
+    cols = (col_left.join(col_right, keys + ["idx"], "outer")
+            .join(table_bb, keys)
+            .select(*keys, F.lit("col").alias("kind"), "idx",
+                    "x0", F.col("ty0").alias("y0"),
+                    "x1", F.col("ty1").alias("y1")))
+    return rows.unionByName(cols)
