@@ -1091,6 +1091,186 @@ FROM sel CROSS JOIN cells
 """
 
 
+def q_pdf_text_fixpoint(spark, sf_dir):
+    """extract_pdf_text fixpoint (``scripts/process_fintabnet.py:
+    800-838`` + loop ``1241-1249``): iterate complete_table_grid ↔
+    extract_pdf_text until tight bboxes stop moving.  Planted 3×4
+    tables (cell (r,c) = page words 10r+2c+1..+2, tight bboxes shrunk
+    2pt) converge in exactly 2 iterations: pass 1 re-extracts the words
+    and restores the full hulls, pass 2 confirms the fixpoint."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .geometry import Box
+    from .kernels.canonicalize import extract_pdf_text_fixpoint
+
+    # sanitized tokens: no '.'/',' so the dot-leader repair and
+    # punctuation re-spacing are no-ops on both sides
+    clean = F.transform(
+        F.split("text", " "),
+        lambda x: F.regexp_replace(x, "[^a-zA-Z0-9]", "x"))
+    words = _planted_words(clean)
+    cells = F.array(*[
+        F.struct(F.lit(10 * r + 2 * c + 1).alias("a"),
+                 F.lit(r).alias("r"), F.lit(c).alias("c"))
+        for r in range(3) for c in range(4)])
+    tables = (_planted_docs(spark, sf_dir)
+              .select("doc_id", words.alias("words"),
+                      cells.alias("cells")))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("cell_num", T.IntegerType()),
+        T.StructField("pdf_text", T.StringType()),
+        T.StructField("x0", T.DoubleType()),
+        T.StructField("y0", T.DoubleType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+        T.StructField("iterations", T.IntegerType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                page_words = [{"text": w["text"],
+                               "bbox": [w["x0"], w["y0"], w["x1"], w["y1"]]}
+                              for w in rec.words]
+                tcells = []
+                for cell in rec.cells:
+                    a = int(cell["a"])
+                    hull = Box(page_words[a]["bbox"]).include_rect(
+                        page_words[a + 1]["bbox"]).tolist()
+                    tcells.append({
+                        "text": "", "row_nums": [int(cell["r"])],
+                        "column_nums": [int(cell["c"])],
+                        # shrink: the fixpoint must grow it back
+                        "bbox": [hull[0] + 2, hull[1] + 2,
+                                 hull[2] - 2, hull[3] - 2]})
+                table = {"cells": tcells,
+                         "rows": {r: {} for r in range(3)},
+                         "columns": {c: {} for c in range(4)},
+                         "reject": [], "fix": []}
+                iters = extract_pdf_text_fixpoint(table, page_words)
+                for i, cell in enumerate(table["cells"]):
+                    rows.append({
+                        "doc_id": rec.doc_id, "cell_num": i,
+                        "pdf_text": cell["pdf_text_content"],
+                        "x0": cell["bbox"][0], "y0": cell["bbox"][1],
+                        "x1": cell["bbox"][2], "y1": cell["bbox"][3],
+                        "iterations": iters})
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in schema})
+
+    return tables.mapInPandas(kernel, schema=schema)
+
+
+ORACLE_PDF_TEXT_FIXPOINT = f"""
+WITH sel AS (
+  SELECT doc_id,
+         [regexp_replace(t, '[^a-zA-Z0-9]', 'x', 'g')
+          for t in string_split(text, ' ')] AS w
+  FROM documents WHERE {_PLANT_FILTER}
+),
+ks AS (SELECT r, c FROM (SELECT unnest(range(3)) AS r)
+       CROSS JOIN (SELECT unnest(range(4)) AS c))
+SELECT doc_id, CAST(r * 4 + c AS INT) AS cell_num,
+       w[10*r + 2*c + 2] || ' ' || w[10*r + 2*c + 3] AS pdf_text,
+       CAST(10.0 + (2*c + 1) * 50.0 AS DOUBLE) AS x0,
+       CAST(20.0 + r * 12.0 AS DOUBLE) AS y0,
+       CAST(55.0 + (2*c + 2) * 50.0 AS DOUBLE) AS x1,
+       CAST(30.0 + r * 12.0 AS DOUBLE) AS y1,
+       CAST(2 AS INT) AS iterations
+FROM sel CROSS JOIN ks
+"""
+
+
+def q_create_table_dict_checks(spark, sf_dir):
+    """create_table_dict validity checks (``scripts/
+    process_fintabnet.py:118-162``): planted FinTabNet-style HTML +
+    pdf-cell annotations with deterministic defects — doc_id%60==0
+    drops a pdf cell ("annotation mismatch"), doc_id%60==20 drops a
+    grid slot ("HTML missing grid cells"), doc_id%60==40 is clean."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from .operators.fintabnet import create_table_dict
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_cells", T.IntegerType()),
+        T.StructField("n_rows", T.IntegerType()),
+        T.StructField("n_cols", T.IntegerType()),
+        T.StructField("rejects", T.StringType()),
+    ])
+
+    full = ("<table><tr><td>A</td><td>B</td></tr>"
+            "<tr><td>C</td><td>D</td></tr></table>")
+    missing = ("<table><tr><td>A</td><td>B</td></tr>"
+               "<tr><td>C</td></tr></table>")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                variant = doc_id % 60
+                if variant == 20:
+                    html, n_pdf = missing, 3
+                elif variant == 0:
+                    html, n_pdf = full, 3  # one annotation short
+                else:
+                    html, n_pdf = full, 4
+                pdf_cells = [{"tokens": [f"t{i}"],
+                              "bbox": [float(i), 0.0, float(i) + 1, 1.0]}
+                             for i in range(n_pdf)]
+                table = create_table_dict(html, pdf_cells)
+                rows.append({
+                    "doc_id": doc_id,
+                    "n_cells": len(table["cells"]),
+                    "n_rows": len(table["rows"]),
+                    "n_cols": len(table["columns"]),
+                    "rejects": ",".join(table["reject"])})
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in schema})
+
+    return (_planted_docs(spark, sf_dir).select("doc_id")
+            .mapInPandas(kernel, schema=schema))
+
+
+ORACLE_CREATE_TABLE_DICT_CHECKS = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 60 = 20 THEN 3 ELSE 4 END::INT AS n_cells,
+       CAST(2 AS INT) AS n_rows, CAST(2 AS INT) AS n_cols,
+       CASE WHEN doc_id % 60 = 0  THEN 'annotation mismatch'
+            WHEN doc_id % 60 = 20 THEN 'HTML missing grid cells'
+            ELSE '' END AS rejects
+FROM documents WHERE {_PLANT_FILTER}
+"""
+
+
+def q_random_shuffle_cap(spark, sf_dir):
+    """Seeded shuffle + cap (``src/table_datasets.py:535-537``).  The
+    reference shuffles in-memory with a seeded RNG; the distributed,
+    engine-portable equivalent orders by a seeded hash of the key —
+    reproducible on any cluster size and in any SQL engine (Spark's
+    rand(seed) is per-partition-seeded and not portable)."""
+    part = load(spark, sf_dir, "part")
+    key = F.md5(F.concat(F.lit("shuffle42:"),
+                         F.col("p_partkey").cast("string")))
+    return (part.select("p_partkey", key.alias("shuffle_key"))
+            .orderBy("shuffle_key").limit(100))
+
+
+ORACLE_RANDOM_SHUFFLE_CAP = """
+SELECT p_partkey, md5('shuffle42:' || CAST(p_partkey AS VARCHAR))
+         AS shuffle_key
+FROM part
+ORDER BY shuffle_key LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1129,6 +1309,9 @@ QUERIES = {
     "locate_caption_hull": q_locate_caption_hull,
     "aggregate_cell_boundaries": q_aggregate_cell_boundaries,
     "standardize_xml_annotation": q_standardize_xml_annotation,
+    "pdf_text_fixpoint": q_pdf_text_fixpoint,
+    "create_table_dict_checks": q_create_table_dict_checks,
+    "random_shuffle_cap": q_random_shuffle_cap,
 }
 
 ORACLES = {
@@ -1165,4 +1348,7 @@ ORACLES = {
     "locate_caption_hull": ORACLE_LOCATE_CAPTION_HULL,
     "aggregate_cell_boundaries": ORACLE_AGGREGATE_CELL_BOUNDARIES,
     "standardize_xml_annotation": ORACLE_STANDARDIZE_XML_ANNOTATION,
+    "pdf_text_fixpoint": ORACLE_PDF_TEXT_FIXPOINT,
+    "create_table_dict_checks": ORACLE_CREATE_TABLE_DICT_CHECKS,
+    "random_shuffle_cap": ORACLE_RANDOM_SHUFFLE_CAP,
 }

@@ -41,6 +41,8 @@ __all__ = [
     "correct_header",
     "canonicalize",
     "standardize_and_fix_xml_annotation",
+    "extract_pdf_text",
+    "extract_pdf_text_fixpoint",
 ]
 
 
@@ -117,16 +119,24 @@ def complete_table_grid(table):
     for rect in col_rects.values():
         rect[1], rect[3] = table_bbox[1], table_bbox[3]
 
+    # one reject per undetermined coordinate, matching the reference's
+    # per-None-element appends (process_fintabnet.py:221-228)
+    n_before = len(table["reject"])
     for k in table["rows"]:
         table["rows"][k]["bbox"] = list(row_rects[k])
-        if any(v is None for v in row_rects[k]):
-            table["reject"].append("undetermined row boundary")
+        for v in row_rects[k]:
+            if v is None:
+                table["reject"].append("undetermined row boundary")
     for k in table["columns"]:
         table["columns"][k]["bbox"] = list(col_rects[k])
-        if any(v is None for v in col_rects[k]):
-            table["reject"].append("undetermined column boundary")
+        for v in col_rects[k]:
+            if v is None:
+                table["reject"].append("undetermined column boundary")
 
-    if table["reject"]:
+    # grid-bbox intersection is skipped only for boundary rejects added
+    # HERE (a None coordinate would poison the hulls); pre-existing
+    # rejects don't stop the computation — the reference always runs it
+    if len(table["reject"]) > n_before:
         return
 
     for cell in table["cells"]:
@@ -723,3 +733,70 @@ def standardize_and_fix_xml_annotation(table):
             to_delete.append(c)
     for c in to_delete:
         cells.remove(c)
+
+
+def _is_all_dots(text):
+    """(``scripts/process_fintabnet.py:795-798``)"""
+    return len(text) > 0 and len(text.replace(".", "")) == 0
+
+
+def extract_pdf_text(table, page_words, threshold=0.5):
+    """Re-extract each cell's text from the page words inside its grid
+    box (``scripts/process_fintabnet.py:800-838``): words overlapping
+    the grid bbox by > *threshold* of their own area become the cell's
+    text; trailing dot-leader words are stripped (``fix``), a text
+    still ending in ".." rejects; the text-tight bbox is rebuilt as the
+    word hull.  Returns True when any tight bbox changed (the fixpoint
+    driver's continue signal)."""
+    adjusted = False
+    for cell in table["cells"]:
+        grid_bbox = cell["grid_bbox"]
+        cell_page_words = [
+            w for w in page_words
+            if Box(w["bbox"]).get_area() > 0
+            and (Box(w["bbox"]).intersect(grid_bbox).get_area()
+                 / Box(w["bbox"]).get_area()) > threshold]
+        cell_text = "".join(w["text"] for w in cell_page_words)
+
+        if len(cell_text) > 2 and cell_text[-2:] == "..":
+            for w in cell_page_words[::-1]:
+                if _is_all_dots(w["text"]):
+                    table["fix"].append("removed dots from text cell")
+                    cell_page_words.remove(w)
+                else:
+                    break
+
+        words_rect = Box()
+        for w in cell_page_words:
+            words_rect.include_rect(w["bbox"])
+        cell_text = " ".join(w["text"] for w in cell_page_words)
+        cell_text = cell_text.replace(" .", ".").replace(" ,", ",")
+        if cell_text.endswith(".."):
+            table["reject"].append("dots retained")
+
+        cell["pdf_text_content"] = cell_text
+        if words_rect.get_area() > 0:
+            new_tight = words_rect.tolist()
+            if cell.get("bbox") != new_tight:
+                adjusted = True
+                cell["bbox"] = new_tight
+    return adjusted
+
+
+def extract_pdf_text_fixpoint(table, page_words, max_iterations=3,
+                              threshold=0.5):
+    """The grid↔text fixpoint (``scripts/process_fintabnet.py:
+    1241-1249``): a grid cell's bbox depends on surrounding text, which
+    changes the tight bbox, which changes the grid — iterate
+    ``complete_table_grid`` + ``extract_pdf_text`` until no tight bbox
+    moves, at most *max_iterations* times; still moving afterwards →
+    "runaway text adjustment" reject.  Returns the iteration count."""
+    adjust = True
+    iterations = 0
+    while adjust and iterations < max_iterations:
+        complete_table_grid(table)
+        adjust = extract_pdf_text(table, page_words, threshold=threshold)
+        iterations += 1
+    if adjust:
+        table["reject"].append("runaway text adjustment")
+    return iterations
