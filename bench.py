@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "token_count",
     "quality_features",
     "doc_fingerprints",
+    "locate_table_cells",
+    "pdf_text_fixpoint",
+    "random_shuffle_cap",
 ]
 
 

@@ -488,12 +488,22 @@ WITH toks AS (
 sigs AS (
   SELECT doc,
          min(md5('mh0:' || tok)) AS mh0, min(md5('mh1:' || tok)) AS mh1,
-         min(md5('mh2:' || tok)) AS mh2, min(md5('mh3:' || tok)) AS mh3
+         min(md5('mh2:' || tok)) AS mh2, min(md5('mh3:' || tok)) AS mh3,
+         min(md5('mh4:' || tok)) AS mh4, min(md5('mh5:' || tok)) AS mh5,
+         min(md5('mh6:' || tok)) AS mh6, min(md5('mh7:' || tok)) AS mh7
   FROM toks GROUP BY doc
+),
+banded AS (
+  SELECT doc, CAST(0 AS INT) AS band_idx,
+         mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 AS band_key
+  FROM sigs
+  UNION ALL
+  SELECT doc, CAST(1 AS INT) AS band_idx,
+         mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7 AS band_key
+  FROM sigs
 )
-SELECT mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3 AS band_key,
-       count(*) AS n_docs, min(doc) AS canonical_id
-FROM sigs GROUP BY 1
+SELECT band_idx, band_key, count(*) AS n_docs, min(doc) AS canonical_id
+FROM banded GROUP BY band_idx, band_key
 """
 
 
@@ -1118,6 +1128,10 @@ def q_pdf_text_fixpoint(spark, sf_dir):
     tables = (_planted_docs(spark, sf_dir)
               .select("doc_id", words.alias("words"),
                       cells.alias("cells")))
+    # CPU-heavy Arrow kernel over few rows — keep it wide (AQE's
+    # bytes-based coalescing would serialize it)
+    tables = tables.repartition(
+        spark.sparkContext.defaultParallelism * 2, "doc_id")
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),

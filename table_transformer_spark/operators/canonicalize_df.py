@@ -155,6 +155,10 @@ def standardize_tables_df(tables: DataFrame) -> DataFrame:
     is_column_header,x0,y0,x1,y1>>) → standardized cells, one row each
     (``standardize_and_fix_xml_annotation``,
     scripts/process_pubmed.py:768-887)."""
-    return (tables.groupBy("doc_id")
+    sc = tables.sparkSession.sparkContext
+    # explicit width: AQE's bytes-based coalescing under-parallelizes
+    # CPU-heavy grouped kernels over small rows
+    return (tables.repartition(sc.defaultParallelism * 2, "doc_id")
+            .groupBy("doc_id")
             .applyInPandas(_standardize_kernel,
                            schema=STANDARDIZED_SCHEMA))

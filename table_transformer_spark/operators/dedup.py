@@ -41,7 +41,7 @@ __all__ = [
     "simhash_neardup_pairs",
 ]
 
-MINHASH_SEEDS = ("mh0:", "mh1:", "mh2:", "mh3:")
+MINHASH_SEEDS = tuple(f"mh{i}:" for i in range(8))
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
@@ -72,15 +72,24 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
-                         seeds=MINHASH_SEEDS) -> DataFrame:
-    """Per-doc MinHash band key + bucket sizes.
+                         seeds=MINHASH_SEEDS,
+                         n_bands: int = 2) -> DataFrame:
+    """Per-doc banded MinHash bucket keys + bucket sizes.
 
     Portable min-hash: for each seed, the lexicographic minimum of
     ``md5(seed || token)`` over the doc's tokens — a valid uniform
-    min-hash family that any SQL engine reproduces bit-for-bit.
-    Returns (band_key, n_docs, canonical_id) for buckets (n_docs > 1 ⇒
-    near-duplicate candidates).
+    min-hash family that any SQL engine reproduces bit-for-bit.  The
+    signature splits into *n_bands* bands of ``len(seeds)/n_bands``
+    rows; docs sharing ANY band key are candidates, so recall is
+    ``1 - (1 - s^R)^B`` for Jaccard s (B=2, R=4 by default — raise B
+    for higher recall, R for higher precision; a production 100 TB run
+    typically uses 128 hashes in ~16 bands, which is just these two
+    knobs).  Returns (band_idx, band_key, n_docs, canonical_id) for
+    buckets (n_docs > 1 ⇒ near-duplicate candidates).
     """
+    if len(seeds) % n_bands:
+        raise ValueError("len(seeds) must divide evenly into n_bands")
+    rows_per_band = len(seeds) // n_bands
     tokens = (_spread(df, id_col)
               .select(F.col(id_col).alias("doc"),
                       F.explode(F.split(F.lower(F.col(text_col)), " "))
@@ -88,9 +97,15 @@ def minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
     aggs = [F.min(F.md5(F.concat(F.lit(s), F.col("tok")))).alias(f"mh{i}")
             for i, s in enumerate(seeds)]
     sigs = tokens.groupBy("doc").agg(*aggs)
-    band = F.concat_ws("|", *[F.col(f"mh{i}") for i in range(len(seeds))])
-    return (sigs.select("doc", band.alias("band_key"))
-            .groupBy("band_key")
+    bands = [F.struct(
+        F.lit(b).alias("band_idx"),
+        F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}")
+                           for r in range(rows_per_band)]).alias("band_key"))
+        for b in range(n_bands)]
+    return (sigs.select("doc", F.explode(F.array(*bands)).alias("band"))
+            .select("doc", F.col("band.band_idx").alias("band_idx"),
+                    F.col("band.band_key").alias("band_key"))
+            .groupBy("band_idx", "band_key")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("doc").alias("canonical_id")))
 

@@ -81,13 +81,24 @@ def _locate_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _widen(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-partition on the grouping keys at 2×cores BEFORE a
+    CPU-heavy grouped kernel: the group exchange reuses this
+    partitioning (no second shuffle) and, unlike a plain groupBy
+    exchange, an explicit repartition is never coalesced by AQE — a
+    char-DP kernel over few small rows would otherwise run 4-wide on
+    32 cores (bytes-based coalescing can't see per-row CPU)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism * 2, *keys)
+
+
 def locate_cells_df(tables_with_words: DataFrame) -> DataFrame:
     """(doc_id, table_num, words, cells) → one located row per cell.
 
     *words*: ``array<struct<text,x0,y0,x1,y1>>`` in reading order;
     *cells*: ``array<struct<text,row_nums,column_nums>>``.
     """
-    return (tables_with_words
+    return (_widen(tables_with_words, "doc_id", "table_num")
             .groupBy("doc_id", "table_num")
             .applyInPandas(_locate_kernel, schema=LOCATED_SCHEMA))
 
@@ -125,7 +136,7 @@ def _caption_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
 
 def locate_caption_df(pages_with_captions: DataFrame) -> DataFrame:
     """(doc_id, words, caption) → one hull row per doc."""
-    return (pages_with_captions
+    return (_widen(pages_with_captions, "doc_id")
             .groupBy("doc_id")
             .applyInPandas(_caption_kernel, schema=CAPTION_SCHEMA))
 
@@ -140,7 +151,11 @@ def aggregate_boundaries_df(located: DataFrame) -> DataFrame:
     min/max, so the plan is a map-side-combined scan at any scale.
     """
     keys = ["doc_id", "table_num"]
-    with_bbox = located.filter(F.col("x0").isNotNull())
+    # five consumers (table extent, row top/bottom, col left/right) —
+    # materialize once so an expensive upstream (the DP-alignment
+    # kernel) isn't recomputed per consumer; at warehouse scale this is
+    # "write the located-cells table once, aggregate from it"
+    with_bbox = located.filter(F.col("x0").isNotNull()).persist()
     table_bb = (with_bbox.groupBy(*keys)
                 .agg(F.min("x0").alias("tx0"), F.min("y0").alias("ty0"),
                      F.max("x1").alias("tx1"), F.max("y1").alias("ty1")))

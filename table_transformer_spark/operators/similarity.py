@@ -65,7 +65,8 @@ def cosine_expr(v1: Column, v2: Column) -> Column:
 
 
 def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
-                     k: int = 3) -> DataFrame:
+                     k: int = 3,
+                     max_index_rows: int = 1_000_000) -> DataFrame:
     """Exact top-k cosine neighbors per vector: (vec_id, neighbor_id,
     rank, cos — rounded for cross-engine hashing).
 
@@ -81,6 +82,14 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
 
     from pyspark.sql import types as T
 
+    # guard: this operator collects the index to the driver by design
+    # (bounded probe/baseline) — refuse unbounded tables so it can't be
+    # pointed at a corpus that belongs in lsh_bucketed_topk
+    n = df.count()
+    if n > max_index_rows:
+        raise ValueError(
+            f"brute_force_topk index has {n} rows > max_index_rows="
+            f"{max_index_rows}; use lsh_bucketed_topk for large corpora")
     index_rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in index_rows], dtype=np.int64)
     mat = np.array([list(r[1]) for r in index_rows], dtype=np.float64)
