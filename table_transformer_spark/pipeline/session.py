@@ -38,16 +38,14 @@ def get_spark(app_name: str = "table_transformer_spark",
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # floor for AQE post-shuffle coalescing: the default (1m) lets
+        # NOTE: coalescing's bytes-based heuristic under-parallelizes
         # CPU-heavy stages over small compressed shuffle bytes (string
-        # shingling, signature joins) collapse to 1-2 tasks on local
-        # runs, serializing 32 cores behind one task (measured 3-5× on
-        # the dedup queries).  64k keeps those stages wide; at real
-        # data volumes partitions are far above either floor, so
-        # coalescing behaves identically at scale.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-                "64k")
+        # shingling, char-DP kernels).  Rather than lower the global
+        # minPartitionSize floor (measured -19% on the byte-heavy
+        # extraction pipeline), those operators pin their width with an
+        # explicit repartition on their grouping keys, which AQE never
+        # coalesces (dedup._spread, locate_df._widen).
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
