@@ -68,11 +68,16 @@ def main() -> None:
     spark = get_spark(app_name="ttspark-bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the Python worker pool + JIT before measuring (one tiny
-    # mapInPandas job so per-task interpreter startup isn't billed to
-    # the first measured query)
+    # warm the Python worker pool + JIT before measuring: one tiny
+    # mapInPandas job (worker interpreter startup) and one tiny
+    # scan→agg→sort (parquet reader + codegen + shuffle machinery), so
+    # neither cold start is billed to the first measured query
     t0 = time.perf_counter()
     _run(documents_df(spark, 2 * CPUS))
+    from pyspark.sql import functions as F
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    _run(li.limit(2048).groupBy("l_returnflag")
+         .agg(F.sum("l_quantity").alias("s")).orderBy("l_returnflag"))
     print(f"[bench] warmup: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
