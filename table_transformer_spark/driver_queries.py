@@ -1285,6 +1285,56 @@ ORDER BY shuffle_key LIMIT 100
 """
 
 
+def q_sessionize_stream_stateful(spark, sf_dir):
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` (EventTimeTimeout) run to completion with
+    an availableNow trigger.  Emits every CLOSED session — closed by an
+    over-gap successor event, or flushed by the event-time timeout once
+    the final watermark (max ts − 10 min) passes session_end + gap.
+    Both close paths are deterministic on a static input, so the batch
+    SQL twin below reproduces the stream's output exactly."""
+    import uuid
+
+    from .pipeline.streaming import sessionize_stream
+
+    schema = load(spark, sf_dir, "events").schema
+    name = f"sess_state_{uuid.uuid4().hex[:12]}"
+    q = (sessionize_stream(spark, sf_dir, schema, glob="events.parquet")
+         .writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return spark.table(name)
+
+
+ORACLE_SESSIONIZE_STREAM_STATEFUL = """
+WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+           FROM events),
+marked AS (
+  SELECT user_id, t,
+         CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+),
+sess AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+agg AS (
+  SELECT user_id, sid, min(t) AS session_start, max(t) AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY user_id, sid
+),
+mx AS (SELECT max(t) AS max_t FROM e),
+lastsid AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id)
+SELECT a.user_id, session_start, session_end, n_events
+FROM agg a JOIN lastsid l ON l.user_id = a.user_id, mx
+WHERE sid < last_sid              -- closed by an over-gap successor
+   OR session_end + 1800 < max_t - 600  -- flushed by event-time timeout
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1326,6 +1376,7 @@ QUERIES = {
     "pdf_text_fixpoint": q_pdf_text_fixpoint,
     "create_table_dict_checks": q_create_table_dict_checks,
     "random_shuffle_cap": q_random_shuffle_cap,
+    "sessionize_stream_stateful": q_sessionize_stream_stateful,
 }
 
 ORACLES = {
@@ -1365,4 +1416,5 @@ ORACLES = {
     "pdf_text_fixpoint": ORACLE_PDF_TEXT_FIXPOINT,
     "create_table_dict_checks": ORACLE_CREATE_TABLE_DICT_CHECKS,
     "random_shuffle_cap": ORACLE_RANDOM_SHUFFLE_CAP,
+    "sessionize_stream_stateful": ORACLE_SESSIONIZE_STREAM_STATEFUL,
 }

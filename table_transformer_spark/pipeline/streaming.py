@@ -37,6 +37,91 @@ def windowed_event_stream(spark: SparkSession, events_dir: str,
                  F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+SESSION_OUTPUT_SCHEMA = ("user_id long, session_start long, "
+                         "session_end long, n_events long")
+SESSION_STATE_SCHEMA = "session_start long, last_ts long, n_events long"
+
+
+def sessionize_state_fn(key, pdfs, state, gap_sec: int = 1800):
+    """Per-user gap sessionization with explicit state — the
+    ``applyInPandasWithState`` kernel (streaming twin of the batch
+    ``sessionize_events`` window query).
+
+    State = (session_start, last_ts, n_events) in epoch seconds.  A
+    new event more than *gap_sec* after ``last_ts`` CLOSES the running
+    session (emitted immediately — append mode) and opens a new one;
+    an event-time timeout (watermark passing ``last_ts + gap_sec``)
+    flushes the final open session and clears the state.  Duck-typed
+    on the GroupState surface so the logic is unit-testable without a
+    streaming harness.
+    """
+    import pandas as pd
+
+    def emit(rows):
+        return pd.DataFrame(
+            rows, columns=["user_id", "session_start", "session_end",
+                           "n_events"])
+
+    if state.hasTimedOut:
+        ss, lt, n = state.get
+        state.remove()
+        yield emit([(key[0], ss, lt, n)])
+        return
+
+    batches = [pdf for pdf in pdfs if len(pdf)]
+    events = (pd.concat(batches).sort_values("ts")
+              if batches else pd.DataFrame(columns=["ts"]))
+    ss = lt = None
+    n = 0
+    if state.exists:
+        ss, lt, n = state.get
+    closed = []
+    for ts in events["ts"]:
+        t = int(pd.Timestamp(ts).timestamp())
+        if ss is None:
+            ss, lt, n = t, t, 1
+        elif t - lt > gap_sec:
+            closed.append((key[0], ss, lt, n))
+            ss, lt, n = t, t, 1
+        else:
+            lt, n = t, n + 1
+    if ss is not None:
+        state.update((ss, lt, n))
+        # flush the open session once event time passes last + gap
+        state.setTimeoutTimestamp((lt + gap_sec) * 1000)
+    if closed:
+        yield emit(closed)
+
+
+def sessionize_stream(spark: SparkSession, events_dir: str, event_schema,
+                      gap_sec: int = 1800, watermark: str = "10 minutes",
+                      max_files_per_trigger: int = 1,
+                      glob: str | None = None):
+    """Streaming gap-based sessionization: one output row per CLOSED
+    session (sessions close on an over-gap successor event or on
+    event-time timeout once the watermark passes).  State lives per
+    user_id; scale-out is the state-store shuffle on user_id, exactly
+    the keyed-state pattern a 100 TB clickstream job would run."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = (spark.readStream.schema(event_schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    stream = reader.parquet(events_dir)
+    return (stream
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                sessionize_state_fn,
+                outputStructType=SESSION_OUTPUT_SCHEMA,
+                stateStructType=SESSION_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
 def stream_extract(spark: SparkSession, documents_dir: str,
                    media: DataFrame, out_dir: str,
                    checkpoint_dir: str, mode: str = "clean"):

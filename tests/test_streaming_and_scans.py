@@ -123,3 +123,114 @@ def test_windowed_event_stream_matches_batch(spark, tmp_path):
                                  F.round(F.sum("value"), 2)
                                  .alias("sum_value"))).collect())
     assert got == want
+
+
+class FakeState:
+    """Duck-typed GroupState for unit-testing the sessionize kernel."""
+
+    def __init__(self, value=None, timed_out=False):
+        self.value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ts = None
+
+    @property
+    def exists(self):
+        return self.value is not None
+
+    @property
+    def get(self):
+        return self.value
+
+    def update(self, v):
+        self.value = v
+
+    def remove(self):
+        self.value, self.removed = None, True
+
+    def setTimeoutTimestamp(self, ts_ms):
+        self.timeout_ts = ts_ms
+
+
+def test_sessionize_state_fn_gap_split_and_state():
+    import pandas as pd
+
+    from table_transformer_spark.pipeline.streaming import (
+        sessionize_state_fn,
+    )
+
+    ts = [pd.Timestamp(t, unit="s") for t in
+          [1000, 1100, 1200, 5000, 5100, 99999]]
+    state = FakeState()
+    out = list(sessionize_state_fn(
+        (7,), iter([pd.DataFrame({"ts": ts})]), state))
+    closed = pd.concat(out)
+    # two closed sessions: [1000..1200] (3 events), [5000..5100] (2)
+    assert closed.values.tolist() == [[7, 1000, 1200, 3],
+                                      [7, 5000, 5100, 2]]
+    # open session kept in state with timeout at last + gap
+    assert state.value == (99999, 99999, 1)
+    assert state.timeout_ts == (99999 + 1800) * 1000
+
+    # state carries over into the next micro-batch
+    ts2 = [pd.Timestamp(100000, unit="s")]
+    out2 = list(sessionize_state_fn(
+        (7,), iter([pd.DataFrame({"ts": ts2})]), state))
+    assert out2 == []  # still within the gap → no emission
+    assert state.value == (99999, 100000, 2)
+
+
+def test_sessionize_state_fn_timeout_flush():
+    import pandas as pd
+
+    from table_transformer_spark.pipeline.streaming import (
+        sessionize_state_fn,
+    )
+
+    state = FakeState(value=(50, 80, 4), timed_out=True)
+    out = pd.concat(list(sessionize_state_fn((3,), iter([]), state)))
+    assert out.values.tolist() == [[3, 50, 80, 4]]
+    assert state.removed
+
+
+def test_sessionize_stream_end_to_end(spark, tmp_path):
+    import pandas as pd
+
+    from table_transformer_spark.pipeline.streaming import (
+        sessionize_stream,
+    )
+
+    base = 1_700_000_000
+    # file 1: user 1 has two sessions split by a >30min gap; user 2 one
+    f1 = [(1, base), (1, base + 60), (1, base + 10_000),
+          (2, base + 5)]
+    # file 2 (later micro-batch): user 1 continues session 2; user 2
+    # jumps far ahead → closes their first session
+    f2 = [(1, base + 10_060), (2, base + 50_000)]
+    import datetime as dt
+
+    events_dir = str(tmp_path / "sessions_events")
+    schema = "user_id long, ts timestamp"
+    for i, rows in enumerate([f1, f2]):
+        (spark.createDataFrame(
+            [(u, dt.datetime.fromtimestamp(t, dt.timezone.utc)
+              .replace(tzinfo=None)) for u, t in rows], schema)
+         .coalesce(1).write.mode("append").parquet(events_dir))
+
+    q = (sessionize_stream(spark, events_dir, schema)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("sess_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+           for r in spark.sql("SELECT * FROM sess_out").collect()}
+    # user 1's first session closed by the over-gap successor event
+    assert (1, base, base + 60, 2) in got
+    # user 2's first closed the same way in the second micro-batch
+    assert (2, base + 5, base + 5, 1) in got
+    # user 1's second session spans both micro-batches (state carry-over:
+    # n_events=2) and is flushed by the event-time TIMEOUT once user 2's
+    # far-future event advances the watermark past last_ts + gap
+    assert (1, base + 10_000, base + 10_060, 2) in got
+    # user 2's final session is still open (watermark hasn't passed it)
+    assert not any(r[0] == 2 and r[1] == base + 50_000 for r in got)
