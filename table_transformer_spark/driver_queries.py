@@ -1335,6 +1335,90 @@ WHERE sid < last_sid              -- closed by an over-gap successor
 """
 
 
+def q_repetition_filters(spark, sf_dir):
+    from .operators.text_analysis import repetition_filters
+    return repetition_filters(load(spark, sf_dir, "documents"),
+                              "doc_id", "text")
+
+
+ORACLE_REPETITION_FILTERS = """
+WITH base AS (
+  SELECT doc_id AS doc, string_split(lower(text), ' ') AS w FROM documents
+),
+stats AS (
+  SELECT doc, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+         [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bigrams
+  FROM base WHERE len(w) >= 2
+),
+bg AS (SELECT doc, n_words, n_distinct, unnest(bigrams) AS bigram
+       FROM stats),
+per_bigram AS (
+  SELECT doc, n_words, n_distinct, bigram, count(*) AS c
+  FROM bg GROUP BY doc, n_words, n_distinct, bigram
+),
+per_doc AS (
+  SELECT doc, n_words, n_distinct, max(c) AS topc,
+         CAST(sum(c) AS BIGINT) AS nbg
+  FROM per_bigram GROUP BY doc, n_words, n_distinct
+),
+vals AS (
+  SELECT doc, CAST(n_words AS BIGINT) AS n_words,
+         CAST(floor((n_words - n_distinct) * 1000 / n_words) AS BIGINT)
+           AS dup_word_permille,
+         CAST(floor(topc * 1000 / nbg) AS BIGINT) AS top_bigram_permille
+  FROM per_doc
+)
+SELECT doc, n_words, dup_word_permille, top_bigram_permille,
+       CAST(dup_word_permille <= 300 AND top_bigram_permille <= 180
+            AS INT) AS keep
+FROM vals
+"""
+
+
+def q_ivf_topk(spark, sf_dir):
+    from .operators.similarity import ivf_topk
+    return ivf_topk(load(spark, sf_dir, "embeddings"),
+                    "vec_id", "embedding", k=1, n_cells=16)
+
+
+_IVF_COS = ("list_dot_product({a}.embedding::DOUBLE[], {b}::DOUBLE[])"
+            " / sqrt(list_dot_product({a}.embedding::DOUBLE[],"
+            " {a}.embedding::DOUBLE[])"
+            " * list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))")
+
+ORACLE_IVF_TOPK = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_IVF_COS.format(a='e', b='c.cvec')} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         {_IVF_COS.format(a='a', b='b.embedding')} AS cos
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
+FROM ranked WHERE rank <= 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1377,6 +1461,8 @@ QUERIES = {
     "create_table_dict_checks": q_create_table_dict_checks,
     "random_shuffle_cap": q_random_shuffle_cap,
     "sessionize_stream_stateful": q_sessionize_stream_stateful,
+    "repetition_filters": q_repetition_filters,
+    "ivf_topk": q_ivf_topk,
 }
 
 ORACLES = {
@@ -1417,4 +1503,6 @@ ORACLES = {
     "create_table_dict_checks": ORACLE_CREATE_TABLE_DICT_CHECKS,
     "random_shuffle_cap": ORACLE_RANDOM_SHUFFLE_CAP,
     "sessionize_stream_stateful": ORACLE_SESSIONIZE_STREAM_STATEFUL,
+    "repetition_filters": ORACLE_REPETITION_FILTERS,
+    "ivf_topk": ORACLE_IVF_TOPK,
 }

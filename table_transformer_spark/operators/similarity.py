@@ -35,6 +35,7 @@ __all__ = [
     "lsh_bucketed_topk",
     "lsh_bucket_stats",
     "embedding_neardup_pairs",
+    "ivf_topk",
 ]
 
 # Two 12-bit bands over distinct dimension sets (64-dim embeddings).
@@ -197,6 +198,48 @@ def lsh_bucketed_topk(df: DataFrame, id_col: str, vec_col: str,
             .agg(F.first(F.col("a.vec")).alias("va"),
                  F.first(F.col("b.vec")).alias("vb")))
     pairs = cand.withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(),
+                                             F.col("neighbor_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("vec_id", "neighbor_id", "rank",
+                    F.round("cos", 6).alias("cos")))
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
+             n_cells: int = 16) -> DataFrame:
+    """IVF-style approximate top-k: assign every vector to its nearest
+    centroid ("inverted-file cell"), search only within the cell.
+
+    Centroids here are the ``n_cells`` lowest-id vectors — a
+    deterministic stand-in for the k-means codebook a production run
+    trains offline; the PLAN is the production plan either way:
+    broadcast the (tiny) codebook, argmax-assign each vector with one
+    windowed pass, then a cell-equi-join bounded by cell population
+    (E[cell] = N/n_cells; n_cells scales with N like the LSH bit
+    count, see the module docstring's cardinality argument).  Output
+    shape matches :func:`brute_force_topk`; vectors alone in their
+    cell yield no rows (approximate by design)."""
+    centroids = (df.filter(F.col(id_col) < n_cells)
+                 .select(F.col(id_col).alias("cid"),
+                         F.col(vec_col).alias("cvec")))
+    scored = (df.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("vec"))
+              .join(F.broadcast(centroids))
+              .withColumn("ccos", cosine_expr(F.col("vec"),
+                                              F.col("cvec"))))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc())
+    assigned = (scored.withColumn("rn", F.row_number().over(w_assign))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "vec", F.col("cid").alias("cell")))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                    & (F.col("a.vec_id") != F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("vec_id"),
+                     F.col("b.vec_id").alias("neighbor_id"),
+                     cosine_expr(F.col("a.vec"), F.col("b.vec"))
+                     .alias("cos")))
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(),
                                              F.col("neighbor_id").asc())
     return (pairs.withColumn("rank", F.row_number().over(w))

@@ -16,6 +16,7 @@ __all__ = [
     "quality_features",
     "lang_signal",
     "fingerprints",
+    "repetition_filters",
 ]
 
 TOKEN_PATTERN = "[a-z]+|[0-9]+"
@@ -63,3 +64,51 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("doc"),
                      F.md5(norm).alias("fp"),
                      F.length(norm).cast("long").alias("n_chars_norm"))
+
+
+def repetition_filters(df: DataFrame, id_col: str, text_col: str,
+                       max_dup_word_permille: int = 300,
+                       max_top_bigram_permille: int = 180) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1 shape): duplicate-word fraction and most-frequent-bigram
+    fraction, exact integer permille so any SQL engine reproduces them.
+
+    * ``dup_word_permille`` = (n_words − n_distinct_words) · 1000 /
+      n_words — high for boilerplate/keyword-stuffed docs;
+    * ``top_bigram_permille`` = occurrences of the most frequent word
+      bigram · 1000 / n_bigrams — high for template/repeated-phrase
+      docs;
+    * ``keep`` applies the thresholds (defaults in the Gopher
+      ballpark).
+
+    One explode + two-level aggregation: shuffles on (doc, bigram) then
+    doc — both uniform keys, map-side combined, no joins.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
+                         lambda x, y: F.concat_ws(" ", x, y))
+    base = (df.select(F.col(id_col).alias("doc"),
+                      F.size(toks).alias("n_words"),
+                      F.size(F.array_distinct(toks)).alias("n_distinct"),
+                      F.explode(bigrams).alias("bigram"))
+            .filter(F.col("n_words") >= 2))
+    per_bigram = (base.groupBy("doc", "n_words", "n_distinct", "bigram")
+                  .agg(F.count(F.lit(1)).alias("c")))
+    per_doc = (per_bigram.groupBy("doc", "n_words", "n_distinct")
+               .agg(F.max("c").alias("top_bigram_count"),
+                    F.sum("c").alias("n_bigrams")))
+    dup_word = F.floor((F.col("n_words") - F.col("n_distinct")) * 1000
+                       / F.col("n_words")).cast("long")
+    top_bigram = F.floor(F.col("top_bigram_count") * 1000
+                         / F.col("n_bigrams")).cast("long")
+    return (per_doc.select(
+        "doc",
+        F.col("n_words").cast("long").alias("n_words"),
+        dup_word.alias("dup_word_permille"),
+        top_bigram.alias("top_bigram_permille"))
+        .withColumn("keep",
+                    ((F.col("dup_word_permille")
+                      <= max_dup_word_permille)
+                     & (F.col("top_bigram_permille")
+                        <= max_top_bigram_permille)).cast("int")))
