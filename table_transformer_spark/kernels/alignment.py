@@ -17,17 +17,19 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["align_chars", "anchor_words"]
+__all__ = ["align_chars", "align_chars_slow", "anchor_words"]
 
 
-def align_chars(page_text: str, table_text: str,
-                match_reward: float = 2, mismatch_penalty: float = -5,
-                new_gap_penalty: float = -2,
-                continue_gap_penalty: float = -0.05,
-                page_boundary_gap_reward: float = 0.01,
-                gap_not_after_space_penalty: float = -1,
-                score_only: bool = False, gap_character: str = "_"):
-    """Align *table_text* into *page_text*.
+def align_chars_slow(page_text: str, table_text: str,
+                     match_reward: float = 2, mismatch_penalty: float = -5,
+                     new_gap_penalty: float = -2,
+                     continue_gap_penalty: float = -0.05,
+                     page_boundary_gap_reward: float = 0.01,
+                     gap_not_after_space_penalty: float = -1,
+                     score_only: bool = False, gap_character: str = "_"):
+    """Align *table_text* into *page_text* — literal per-cell DP, kept
+    as the parity reference for :func:`align_chars` (hypothesis-tested
+    equal on scores, pointers, and tracebacks).
 
     Returns ``score`` when ``score_only`` else
     ``((aligned_page, aligned_table), score)`` with gap characters
@@ -93,6 +95,98 @@ def align_chars(page_text: str, table_text: str,
             a_table.append(gap_character)
             a_page.append(page_text[i])
         elif p == 1:
+            j -= 1
+            a_page.append(gap_character)
+            a_table.append(table_text[j])
+        else:
+            i -= 1
+            j -= 1
+            a_page.append(page_text[i])
+            a_table.append(table_text[j])
+    return ["".join(reversed(a_page)), "".join(reversed(a_table))], score
+
+
+
+def align_chars(page_text: str, table_text: str,
+                match_reward: float = 2, mismatch_penalty: float = -5,
+                new_gap_penalty: float = -2,
+                continue_gap_penalty: float = -0.05,
+                page_boundary_gap_reward: float = 0.01,
+                gap_not_after_space_penalty: float = -1,
+                score_only: bool = False, gap_character: str = "_"):
+    """Anti-diagonal-vectorized twin of :func:`align_chars_slow`.
+
+    Cell (i, j) depends on (i-1, j-1) [two anti-diagonals back] and on
+    (i, j-1) / (i-1, j) [one back] — including their POINTERS (the
+    continue-vs-new gap costs) — so sweeping anti-diagonals i+j=k and
+    vectorizing over the cells of each is exact: every dependency is
+    already final.  Same scores, same pointers (tie order diag ≻ up ≻
+    left), same traceback as the literal DP; ~an order of magnitude
+    faster on real page×table sizes.  Hypothesis-tested equal to the
+    slow twin on scores and tracebacks.
+    """
+    n, m = len(page_text), len(table_text)
+    if n == 0 or m == 0:
+        return align_chars_slow(
+            page_text, table_text, match_reward, mismatch_penalty,
+            new_gap_penalty, continue_gap_penalty,
+            page_boundary_gap_reward, gap_not_after_space_penalty,
+            score_only, gap_character)
+
+    page_np = np.frombuffer(page_text.encode("utf-32-le"), dtype=np.uint32)
+    table_np = np.frombuffer(table_text.encode("utf-32-le"), dtype=np.uint32)
+    space = np.uint32(ord(" "))
+    tc_extra = np.where(table_np != space, gap_not_after_space_penalty, 0.0)
+    pc_extra = np.where(page_np != space, gap_not_after_space_penalty, 0.0)
+
+    scores = np.zeros((n + 1, m + 1))
+    pointers = np.zeros((n + 1, m + 1), dtype=np.int8)
+    scores[1:, 0] = np.arange(1, n + 1) * page_boundary_gap_reward
+    pointers[1:, 0] = -1
+    pointers[0, 1:] = 1
+
+    for k in range(2, n + m + 1):
+        lo = max(1, k - m)
+        hi = min(n, k - 1)
+        if lo > hi:
+            continue
+        i = np.arange(lo, hi + 1)
+        j = k - i
+
+        diag = scores[i - 1, j - 1] + np.where(
+            page_np[i - 1] == table_np[j - 1],
+            match_reward, mismatch_penalty)
+
+        left_base = scores[i, j - 1]
+        left = left_base + np.where(
+            pointers[i, j - 1] == 1, continue_gap_penalty,
+            new_gap_penalty + tc_extra[j - 1])
+
+        up_base = scores[i - 1, j]
+        up = up_base + np.where(
+            j == m, page_boundary_gap_reward,
+            np.where(pointers[i - 1, j] == -1, continue_gap_penalty,
+                     new_gap_penalty + pc_extra[i - 1]))
+
+        best = np.maximum(diag, np.maximum(up, left))
+        ptr = np.where(diag == best, 0,
+                       np.where(up == best, -1, 1)).astype(np.int8)
+        scores[i, j] = best
+        pointers[i, j] = ptr
+
+    score = float(scores[n, m])
+    if score_only:
+        return score
+
+    i, j = n, m
+    a_page, a_table = [], []
+    while not (i == 0 and j == 0):
+        ptr = pointers[i, j]
+        if ptr == -1:
+            i -= 1
+            a_table.append(gap_character)
+            a_page.append(page_text[i])
+        elif ptr == 1:
             j -= 1
             a_page.append(gap_character)
             a_table.append(table_text[j])

@@ -78,3 +78,37 @@ def test_anchor_words_no_match():
     picked, hull = anchor_words(words, "zzzzzzzz qqqqqq")
     assert picked == []
     assert hull is None
+
+
+def test_align_chars_fast_equals_slow_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from table_transformer_spark.kernels.alignment import (
+        align_chars,
+        align_chars_slow,
+    )
+
+    alphabet = "ab c.x"
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=alphabet, min_size=0, max_size=40),
+           st.text(alphabet=alphabet, min_size=0, max_size=25),
+           st.sampled_from([
+               # locate params and page-location params
+               dict(match_reward=3, mismatch_penalty=-2,
+                    new_gap_penalty=-10, continue_gap_penalty=-0.05,
+                    page_boundary_gap_reward=0.2, gap_character="~"),
+               dict(match_reward=2, mismatch_penalty=-2,
+                    new_gap_penalty=-10, continue_gap_penalty=-0.0005,
+                    page_boundary_gap_reward=0.0001, gap_character="~"),
+               dict(),
+           ]))
+    def check(page, table, kw):
+        fast = align_chars(page, table, score_only=False, **kw)
+        slow = align_chars_slow(page, table, score_only=False, **kw)
+        assert fast == slow
+        assert (align_chars(page, table, score_only=True, **kw)
+                == align_chars_slow(page, table, score_only=True, **kw))
+
+    check()
