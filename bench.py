@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "locate_table_cells",
     "pdf_text_fixpoint",
     "random_shuffle_cap",
+    "repetition_filters",
+    "ivf_topk",
 ]
 
 

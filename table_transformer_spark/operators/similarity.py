@@ -214,35 +214,75 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
     Centroids here are the ``n_cells`` lowest-id vectors — a
     deterministic stand-in for the k-means codebook a production run
     trains offline; the PLAN is the production plan either way:
-    broadcast the (tiny) codebook, argmax-assign each vector with one
-    windowed pass, then a cell-equi-join bounded by cell population
-    (E[cell] = N/n_cells; n_cells scales with N like the LSH bit
-    count, see the module docstring's cardinality argument).  Output
-    shape matches :func:`brute_force_topk`; vectors alone in their
-    cell yield no rows (approximate by design)."""
-    centroids = (df.filter(F.col(id_col) < n_cells)
-                 .select(F.col(id_col).alias("cid"),
-                         F.col(vec_col).alias("cvec")))
-    scored = (df.select(F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).alias("vec"))
-              .join(F.broadcast(centroids))
-              .withColumn("ccos", cosine_expr(F.col("vec"),
-                                              F.col("cvec"))))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cid").asc())
-    assigned = (scored.withColumn("rn", F.row_number().over(w_assign))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "vec", F.col("cid").alias("cell")))
-    a, b = assigned.alias("a"), assigned.alias("b")
-    pairs = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
-                    & (F.col("a.vec_id") != F.col("b.vec_id")))
-             .select(F.col("a.vec_id").alias("vec_id"),
-                     F.col("b.vec_id").alias("neighbor_id"),
-                     cosine_expr(F.col("a.vec"), F.col("b.vec"))
-                     .alias("cos")))
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(),
-                                             F.col("neighbor_id").asc())
-    return (pairs.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("vec_id", "neighbor_id", "rank",
-                    F.round("cos", 6).alias("cos")))
+
+    1. collect + broadcast the (tiny) codebook;
+    2. Arrow-batched assignment kernel: one BLAS matmul per batch,
+       argmax cell (ties → lowest centroid id);
+    3. one shuffle on ``cell``, then a per-cell BLAS kernel computes
+       the full within-cell cosine matrix and emits each vector's
+       top-k (E[cell] = N/n_cells; n_cells scales with N like the LSH
+       bit count, see the module docstring's cardinality argument).
+
+    No per-pair rows ever materialize — the quadratic lives inside a
+    bounded per-cell matmul.  Output shape matches
+    :func:`brute_force_topk`; vectors alone in their cell yield no
+    rows (approximate by design)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cents = (df.filter(F.col(id_col) < n_cells)
+             .select(F.col(id_col).alias("cid"), F.col(vec_col))
+             .orderBy("cid").collect())
+    cmat = np.array([list(r[1]) for r in cents], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    bc = df.sparkSession.sparkContext.broadcast((cmat, cnorm))
+
+    assign_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("vec", df.schema[vec_col].dataType),
+    ])
+
+    def assign(batches):
+        cm, cn = bc.value
+        for pdf in batches:
+            q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            sims = (q @ cm.T) / (qn[:, None] * cn[None, :])
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                # argmax returns the FIRST max → lowest cid on ties
+                "cell": sims.argmax(axis=1).astype(np.int32),
+                "vec": pdf[vec_col]})
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign, schema=assign_schema)
+
+    out_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def cell_topk(key, pdf):
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array([list(v) for v in pdf["vec"]], dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+        rows = {"vec_id": [], "neighbor_id": [], "rank": [], "cos": []}
+        for i in range(len(ids)):
+            mask = ids != ids[i]
+            cand = np.lexsort((ids[mask], -sims[i][mask]))
+            for r, ci in enumerate(cand[:k], 1):
+                rows["vec_id"].append(ids[i])
+                rows["neighbor_id"].append(ids[mask][ci])
+                rows["rank"].append(r)
+                rows["cos"].append(round(float(sims[i][mask][ci]), 6))
+        return pd.DataFrame(rows) if rows["vec_id"] else pd.DataFrame(
+            {f.name: pd.Series(dtype=object) for f in out_schema})
+
+    return assigned.groupBy("cell").applyInPandas(
+        cell_topk, schema=out_schema)
