@@ -1419,6 +1419,39 @@ FROM ranked WHERE rank <= 1
 """
 
 
+def q_salted_join_agg(spark, sf_dir):
+    """Explicit hot-key salting: events (5 event types → every key is
+    hot) salted-joined to a per-type dimension, then aggregated.
+    Results are provably identical to the unsalted join (the oracle
+    does the plain join); the plan difference is that no single task
+    owns a whole event_type."""
+    from .operators.skew import salted_join
+
+    events = load(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 2.0), ("purchase", 3.0),
+         ("error", 4.0), ("signup", 5.0)],
+        ["event_type", "weight"])
+    joined = salted_join(events, dim, "event_type",
+                         n_salts=16, salt_from="event_id")
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("value") * F.col("weight")), 2)
+                 .alias("weighted_sum")))
+
+
+ORACLE_SALTED_JOIN_AGG = """
+WITH dim(event_type, weight) AS (
+  VALUES ('click', 1.0), ('view', 2.0), ('purchase', 3.0),
+         ('error', 4.0), ('signup', 5.0)
+)
+SELECT e.event_type, count(*) AS n,
+       round(sum(e.value * d.weight), 2) AS weighted_sum
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1463,6 +1496,7 @@ QUERIES = {
     "sessionize_stream_stateful": q_sessionize_stream_stateful,
     "repetition_filters": q_repetition_filters,
     "ivf_topk": q_ivf_topk,
+    "salted_join_agg": q_salted_join_agg,
 }
 
 ORACLES = {
@@ -1505,4 +1539,5 @@ ORACLES = {
     "sessionize_stream_stateful": ORACLE_SESSIONIZE_STREAM_STATEFUL,
     "repetition_filters": ORACLE_REPETITION_FILTERS,
     "ivf_topk": ORACLE_IVF_TOPK,
+    "salted_join_agg": ORACLE_SALTED_JOIN_AGG,
 }

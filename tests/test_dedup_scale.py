@@ -129,3 +129,29 @@ def test_lsh_bands_parameterized_and_telemetry(spark):
     # 2-bit buckets over 40 vectors: everyone has a candidate
     assert len(out) == 40
     assert (out["rank"] == 1).all()
+
+
+def test_salted_join_exact_and_salted_plan(spark):
+    from pyspark.sql import functions as F
+
+    from table_transformer_spark.operators.skew import salted_join
+
+    # skewed probe: one hot key with 400 rows, one cold with 3
+    probe = spark.createDataFrame(
+        [(i, "hot" if i % 100 else "cold", float(i)) for i in range(403)],
+        "rid long, k string, v double")
+    build = spark.createDataFrame(
+        [("hot", 10.0), ("cold", 20.0)], "k string, w double")
+    salted = salted_join(probe, build, "k", n_salts=8, salt_from="rid")
+    plain = probe.join(build, "k")
+    agg = lambda df: sorted(  # noqa: E731
+        (r.k, r.n, round(r.s, 3)) for r in
+        df.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                            F.sum(F.col("v") * F.col("w")).alias("s"))
+        .collect())
+    assert agg(salted) == agg(plain)
+    # row-level identity too (salt never drops/duplicates)
+    assert sorted(map(tuple, salted.collect())) == \
+        sorted(map(tuple, plain.collect()))
+    plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan
