@@ -1372,6 +1372,15 @@ SELECT doc, n_words, dup_word_permille, top_bigram_permille,
        CAST(dup_word_permille <= 300 AND top_bigram_permille <= 180
             AS INT) AS keep
 FROM vals
+UNION ALL
+-- sub-bigram docs: explicit zeros + keep (the operator returns a
+-- verdict for every document)
+SELECT doc_id AS doc,
+       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+       CAST(0 AS BIGINT) AS dup_word_permille,
+       CAST(0 AS BIGINT) AS top_bigram_permille,
+       CAST(1 AS INT) AS keep
+FROM documents WHERE len(string_split(lower(text), ' ')) < 2
 """
 
 

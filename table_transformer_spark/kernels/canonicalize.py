@@ -794,7 +794,14 @@ def extract_pdf_text_fixpoint(table, page_words, max_iterations=3,
     adjust = True
     iterations = 0
     while adjust and iterations < max_iterations:
+        n_rejects = len(table["reject"])
         complete_table_grid(table)
+        if len(table["reject"]) > n_rejects:
+            # an undetermined boundary means no grid bboxes exist to
+            # extract from — the table is rejected; stop iterating
+            # (the reference's equivalent crash is swallowed by its
+            # outer try/except and the table is dropped)
+            return iterations
         adjust = extract_pdf_text(table, page_words, threshold=threshold)
         iterations += 1
     if adjust:

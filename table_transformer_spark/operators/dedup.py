@@ -28,7 +28,7 @@ the quadratic step.
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -220,7 +220,10 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 
     out = np.empty(len(texts), dtype=np.int64)
     for i, text in enumerate(texts):
-        toks = str(text).lower().split()
+        if not isinstance(text, str):
+            out[i] = 0  # NULL text → signature 0, matching the oracle
+            continue
+        toks = text.lower().split()
         if not toks:
             out[i] = 0
             continue

@@ -151,21 +151,37 @@ def aggregate_boundaries_df(located: DataFrame) -> DataFrame:
     min/max, so the plan is a map-side-combined scan at any scale.
     """
     keys = ["doc_id", "table_num"]
-    # five consumers (table extent, row top/bottom, col left/right) —
-    # materialize once so an expensive upstream (the DP-alignment
-    # kernel) isn't recomputed per consumer; at warehouse scale this is
-    # "write the located-cells table once, aggregate from it"
-    with_bbox = located.filter(F.col("x0").isNotNull()).persist()
+    # six consumers (boundary universe, table extent, row top/bottom,
+    # col left/right) — materialize once so an expensive upstream (the
+    # DP-alignment kernel) isn't recomputed per consumer; at warehouse
+    # scale this is "write the located-cells table once, aggregate from
+    # it".  localCheckpoint rather than persist: the blocks are freed
+    # by the ContextCleaner when the result goes out of scope, while a
+    # CacheManager registration would live for the whole session.
+    located = located.localCheckpoint(eager=False)
+    with_bbox = located.filter(F.col("x0").isNotNull())
     table_bb = (with_bbox.groupBy(*keys)
                 .agg(F.min("x0").alias("tx0"), F.min("y0").alias("ty0"),
                      F.max("x1").alias("tx1"), F.max("y1").alias("ty1")))
+    # boundary universe from ALL cells (kernel parity: rows/cols
+    # touched only by bbox-less cells still get a boundary row, with
+    # null free coordinates and snapped table-extent coordinates)
+    row_idx = (located.select(*keys, F.col("row_lo").alias("idx"))
+               .unionByName(located.select(*keys,
+                                           F.col("row_hi").alias("idx")))
+               .distinct())
+    col_idx = (located.select(*keys, F.col("col_lo").alias("idx"))
+               .unionByName(located.select(*keys,
+                                           F.col("col_hi").alias("idx")))
+               .distinct())
     # a row's top comes from cells whose min-row it is; bottom from
     # cells whose max-row it is (reference lines 950-963)
     row_top = (with_bbox.groupBy(*keys, F.col("row_lo").alias("idx"))
                .agg(F.min("y0").alias("y0")))
     row_bot = (with_bbox.groupBy(*keys, F.col("row_hi").alias("idx"))
                .agg(F.max("y1").alias("y1")))
-    rows = (row_top.join(row_bot, keys + ["idx"], "outer")
+    rows = (row_idx.join(row_top, keys + ["idx"], "left")
+            .join(row_bot, keys + ["idx"], "left")
             .join(table_bb, keys)
             .select(*keys, F.lit("row").alias("kind"), "idx",
                     F.col("tx0").alias("x0"), "y0",
@@ -174,7 +190,8 @@ def aggregate_boundaries_df(located: DataFrame) -> DataFrame:
                 .agg(F.min("x0").alias("x0")))
     col_right = (with_bbox.groupBy(*keys, F.col("col_hi").alias("idx"))
                  .agg(F.max("x1").alias("x1")))
-    cols = (col_left.join(col_right, keys + ["idx"], "outer")
+    cols = (col_idx.join(col_left, keys + ["idx"], "left")
+            .join(col_right, keys + ["idx"], "left")
             .join(table_bb, keys)
             .select(*keys, F.lit("col").alias("kind"), "idx",
                     "x0", F.col("ty0").alias("y0"),

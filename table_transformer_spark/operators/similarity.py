@@ -85,13 +85,15 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
 
     # guard: this operator collects the index to the driver by design
     # (bounded probe/baseline) — refuse unbounded tables so it can't be
-    # pointed at a corpus that belongs in lsh_bucketed_topk
-    n = df.count()
-    if n > max_index_rows:
+    # pointed at a corpus that belongs in lsh_bucketed_topk.  One
+    # action: collect max+1 rows and check the length (a separate
+    # count() would scan the input twice).
+    index_rows = (df.select(id_col, vec_col)
+                  .limit(max_index_rows + 1).collect())
+    if len(index_rows) > max_index_rows:
         raise ValueError(
-            f"brute_force_topk index has {n} rows > max_index_rows="
+            f"brute_force_topk index exceeds max_index_rows="
             f"{max_index_rows}; use lsh_bucketed_topk for large corpora")
-    index_rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in index_rows], dtype=np.int64)
     mat = np.array([list(r[1]) for r in index_rows], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
@@ -235,6 +237,11 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
     cents = (df.filter(F.col(id_col) < n_cells)
              .select(F.col(id_col).alias("cid"), F.col(vec_col))
              .orderBy("cid").collect())
+    if len(cents) < n_cells:
+        raise ValueError(
+            f"ivf_topk codebook needs ids 0..{n_cells - 1} present; "
+            f"found {len(cents)} (a degenerate codebook re-quadratics "
+            "the per-cell search — train/choose a full one)")
     cmat = np.array([list(r[1]) for r in cents], dtype=np.float64)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
     bc = df.sparkSession.sparkContext.broadcast((cmat, cnorm))

@@ -35,6 +35,12 @@ def salted_join(probe: DataFrame, build: DataFrame, key: str,
     scale the build side is too big to broadcast, which is the only
     reason to salt at all.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        # a right/full outer join would emit every unmatched build row
+        # n_salts times (one per replica) — equality with the unsalted
+        # join only holds for probe-preserving join types
+        raise ValueError(f"salted_join does not support how={how!r}")
     salt_cols = [salt_from] if salt_from else probe.columns
     p = probe.withColumn(
         "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)))

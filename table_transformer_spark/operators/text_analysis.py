@@ -93,6 +93,15 @@ def repetition_filters(df: DataFrame, id_col: str, text_col: str,
                       F.size(F.array_distinct(toks)).alias("n_distinct"),
                       F.explode(bigrams).alias("bigram"))
             .filter(F.col("n_words") >= 2))
+    # a quality filter must return an explicit verdict for EVERY doc:
+    # sub-bigram docs can't repeat anything → zeros, keep=1
+    short = (df.select(F.col(id_col).alias("doc"),
+                       F.size(toks).cast("long").alias("n_words"))
+             .filter(F.col("n_words") < 2)
+             .select("doc", "n_words",
+                     F.lit(0).cast("long").alias("dup_word_permille"),
+                     F.lit(0).cast("long").alias("top_bigram_permille"),
+                     F.lit(1).alias("keep")))
     per_bigram = (base.groupBy("doc", "n_words", "n_distinct", "bigram")
                   .agg(F.count(F.lit(1)).alias("c")))
     per_doc = (per_bigram.groupBy("doc", "n_words", "n_distinct")
@@ -111,4 +120,5 @@ def repetition_filters(df: DataFrame, id_col: str, text_col: str,
                     ((F.col("dup_word_permille")
                       <= max_dup_word_permille)
                      & (F.col("top_bigram_permille")
-                        <= max_top_bigram_permille)).cast("int")))
+                        <= max_top_bigram_permille)).cast("int"))
+        .unionByName(short))

@@ -84,7 +84,10 @@ def sessionize_state_fn(key, pdfs, state, gap_sec: int = 1800):
             closed.append((key[0], ss, lt, n))
             ss, lt, n = t, t, 1
         else:
-            lt, n = t, n + 1
+            # a late (within-watermark) event from an earlier micro-
+            # batch may precede the carried state: widen the session
+            # window instead of moving its end backwards
+            ss, lt, n = min(ss, t), max(lt, t), n + 1
     if ss is not None:
         state.update((ss, lt, n))
         # flush the open session once event time passes last + gap
@@ -110,12 +113,16 @@ def sessionize_stream(spark: SparkSession, events_dir: str, event_schema,
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     stream = reader.parquet(events_dir)
+
+    def fn(key, pdfs, state):  # bind gap_sec for the executors
+        yield from sessionize_state_fn(key, pdfs, state, gap_sec=gap_sec)
+
     return (stream
             .withColumn("ts", F.col("ts").cast("timestamp"))
             .withWatermark("ts", watermark)
             .groupBy("user_id")
             .applyInPandasWithState(
-                sessionize_state_fn,
+                fn,
                 outputStructType=SESSION_OUTPUT_SCHEMA,
                 stateStructType=SESSION_STATE_SCHEMA,
                 outputMode="append",

@@ -155,3 +155,51 @@ def test_salted_join_exact_and_salted_plan(spark):
         sorted(map(tuple, plain.collect()))
     plan = salted._jdf.queryExecution().optimizedPlan().toString()
     assert "_salt" in plan
+
+
+def test_salted_join_rejects_build_preserving_types(spark):
+    from table_transformer_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame([(1, "a")], "rid long, k string")
+    build = spark.createDataFrame([("a", 1.0)], "k string, w double")
+    with pytest.raises(ValueError, match="how="):
+        salted_join(probe, build, "k", how="right")
+    with pytest.raises(ValueError, match="how="):
+        salted_join(probe, build, "k", how="full_outer")
+
+
+def test_simhash_null_text_signature_zero(spark):
+    d = spark.createDataFrame(
+        [(1, "b", None), (2, "b", "none"), (3, "b", "hello")],
+        "doc_id long, source string, text string")
+    sigs = {r.doc_id: r.sig for r in
+            d.select("doc_id", simhash_udf("text").alias("sig")).collect()}
+    assert sigs[1] == 0
+    assert sigs[2] != 0  # the WORD "none" is not NULL
+
+
+def test_ivf_topk_codebook_guard(spark):
+    from table_transformer_spark.operators.similarity import ivf_topk
+
+    rows = [(1000 + i, [float(i + j) for j in range(4)]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="codebook"):
+        ivf_topk(df, "vec_id", "embedding", n_cells=4).collect()
+
+
+def test_repetition_filters_short_docs_get_verdict(spark):
+    from table_transformer_spark.operators.text_analysis import (
+        repetition_filters,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "a a a a a a"), (4, "x y z")],
+        "doc_id long, text string")
+    out = {r.doc: (r.n_words, r.dup_word_permille,
+                   r.top_bigram_permille, r.keep)
+           for r in repetition_filters(d, "doc_id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4}          # every doc has a verdict
+    assert out[1] == (1, 0, 0, 1)
+    assert out[2] == (1, 0, 0, 1)            # "" splits to one empty tok
+    assert out[3][3] == 0                     # all-repeat doc filtered
+    assert out[4] == (3, 0, 500, 0)           # 2 bigrams, top freq 1

@@ -131,3 +131,22 @@ def test_fixpoint_converges_and_runaway_rejects():
                                        max_iterations=1)
     assert iters2 == 1
     assert table2["reject"] == ["runaway text adjustment"]
+
+
+def test_fixpoint_rejected_boundary_no_crash():
+    from table_transformer_spark.kernels.canonicalize import (
+        extract_pdf_text_fixpoint,
+    )
+    # second row's only cell has no tight bbox → complete_table_grid
+    # rejects "undetermined row boundary"; the fixpoint must stop
+    # gracefully instead of KeyError'ing on the missing grid_bbox
+    page_words = [{"text": "aa", "bbox": [0, 0, 10, 10]}]
+    table = {"cells": [{"text": "", "row_nums": [0], "column_nums": [0],
+                        "bbox": [0, 0, 10, 10]},
+                       {"text": "", "row_nums": [1], "column_nums": [0],
+                        "bbox": None}],
+             "rows": {0: {}, 1: {}}, "columns": {0: {}},
+             "reject": [], "fix": []}
+    iters = extract_pdf_text_fixpoint(table, page_words)
+    assert iters == 0
+    assert "undetermined row boundary" in table["reject"]

@@ -234,3 +234,28 @@ def test_sessionize_stream_end_to_end(spark, tmp_path):
     assert (1, base + 10_000, base + 10_060, 2) in got
     # user 2's final session is still open (watermark hasn't passed it)
     assert not any(r[0] == 2 and r[1] == base + 50_000 for r in got)
+
+
+def test_sessionize_state_fn_custom_gap_and_late_events():
+    import pandas as pd
+
+    from table_transformer_spark.pipeline.streaming import (
+        sessionize_state_fn,
+    )
+
+    # custom gap: 61s apart with gap_sec=60 splits
+    state = FakeState()
+    ts = [pd.Timestamp(t, unit="s") for t in [100, 161]]
+    out = list(sessionize_state_fn(
+        (1,), iter([pd.DataFrame({"ts": ts})]), state, gap_sec=60))
+    assert pd.concat(out).values.tolist() == [[1, 100, 100, 1]]
+    assert state.value == (161, 161, 1)
+
+    # late within-watermark event widens the window instead of moving
+    # the session end backwards
+    state = FakeState(value=(1000, 1000, 1))
+    out = list(sessionize_state_fn(
+        (1,), iter([pd.DataFrame({"ts": [pd.Timestamp(900, unit="s")]})]),
+        state))
+    assert out == []
+    assert state.value == (900, 1000, 2)  # ss widened, lt kept
