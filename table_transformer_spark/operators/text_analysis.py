@@ -88,29 +88,31 @@ def repetition_filters(df: DataFrame, id_col: str, text_col: str,
     m = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
                          lambda x, y: F.concat_ws(" ", x, y))
-    base = (df.select(F.col(id_col).alias("doc"),
-                      F.size(toks).alias("n_words"),
-                      F.size(F.array_distinct(toks)).alias("n_distinct"),
-                      F.explode(bigrams).alias("bigram"))
-            .filter(F.col("n_words") >= 2))
-    # a quality filter must return an explicit verdict for EVERY doc:
-    # sub-bigram docs can't repeat anything → zeros, keep=1
-    short = (df.select(F.col(id_col).alias("doc"),
-                       F.size(toks).cast("long").alias("n_words"))
-             .filter(F.col("n_words") < 2)
-             .select("doc", "n_words",
-                     F.lit(0).cast("long").alias("dup_word_permille"),
-                     F.lit(0).cast("long").alias("top_bigram_permille"),
-                     F.lit(1).alias("keep")))
+    # keep the tokenize/shingle pass wide on compacted inputs (same
+    # rationale as dedup._spread: the scan may be one partition)
+    sc = df.sparkSession.sparkContext
+    df = df.repartition(sc.defaultParallelism * 2, id_col)
+    # explode_outer keeps sub-bigram docs as a single null-bigram row,
+    # so EVERY doc gets a verdict from one pass over the input (a
+    # union of a short-doc branch would scan the corpus twice)
+    base = df.select(F.col(id_col).alias("doc"),
+                     F.size(toks).alias("n_words"),
+                     F.size(F.array_distinct(toks)).alias("n_distinct"),
+                     F.explode_outer(bigrams).alias("bigram"))
     per_bigram = (base.groupBy("doc", "n_words", "n_distinct", "bigram")
                   .agg(F.count(F.lit(1)).alias("c")))
+    real = F.col("bigram").isNotNull()
     per_doc = (per_bigram.groupBy("doc", "n_words", "n_distinct")
-               .agg(F.max("c").alias("top_bigram_count"),
-                    F.sum("c").alias("n_bigrams")))
+               .agg(F.max(F.when(real, F.col("c")).otherwise(0))
+                    .alias("top_bigram_count"),
+                    F.sum(F.when(real, F.col("c")).otherwise(0))
+                    .alias("n_bigrams")))
     dup_word = F.floor((F.col("n_words") - F.col("n_distinct")) * 1000
                        / F.col("n_words")).cast("long")
-    top_bigram = F.floor(F.col("top_bigram_count") * 1000
-                         / F.col("n_bigrams")).cast("long")
+    top_bigram = F.when(
+        F.col("n_bigrams") > 0,
+        F.floor(F.col("top_bigram_count") * 1000 / F.col("n_bigrams"))
+    ).otherwise(0).cast("long")
     return (per_doc.select(
         "doc",
         F.col("n_words").cast("long").alias("n_words"),
@@ -120,5 +122,4 @@ def repetition_filters(df: DataFrame, id_col: str, text_col: str,
                     ((F.col("dup_word_permille")
                       <= max_dup_word_permille)
                      & (F.col("top_bigram_permille")
-                        <= max_top_bigram_permille)).cast("int"))
-        .unionByName(short))
+                        <= max_top_bigram_permille)).cast("int")))
