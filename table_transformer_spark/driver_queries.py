@@ -1128,10 +1128,9 @@ def q_pdf_text_fixpoint(spark, sf_dir):
     tables = (_planted_docs(spark, sf_dir)
               .select("doc_id", words.alias("words"),
                       cells.alias("cells")))
-    # CPU-heavy Arrow kernel over few rows — keep it wide (AQE's
-    # bytes-based coalescing would serialize it)
-    tables = tables.repartition(
-        spark.sparkContext.defaultParallelism * 2, "doc_id")
+    # CPU-heavy Arrow kernel over few rows — keep it wide
+    from .partitioning import widen_for_cpu
+    tables = widen_for_cpu(tables, "doc_id")
 
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),

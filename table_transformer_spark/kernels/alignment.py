@@ -157,16 +157,22 @@ def align_chars(page_text: str, table_text: str,
             page_np[i - 1] == table_np[j - 1],
             match_reward, mismatch_penalty)
 
+        # NOTE association: the literal DP adds new_gap and the
+        # not-after-space extra in TWO steps ((base + new) + extra);
+        # pre-summing the constants changes float rounding and breaks
+        # bit-exact parity, so each branch is computed separately
         left_base = scores[i, j - 1]
-        left = left_base + np.where(
-            pointers[i, j - 1] == 1, continue_gap_penalty,
-            new_gap_penalty + tc_extra[j - 1])
+        left = np.where(
+            pointers[i, j - 1] == 1,
+            left_base + continue_gap_penalty,
+            (left_base + new_gap_penalty) + tc_extra[j - 1])
 
         up_base = scores[i - 1, j]
-        up = up_base + np.where(
-            j == m, page_boundary_gap_reward,
-            np.where(pointers[i - 1, j] == -1, continue_gap_penalty,
-                     new_gap_penalty + pc_extra[i - 1]))
+        up = np.where(
+            j == m, up_base + page_boundary_gap_reward,
+            np.where(pointers[i - 1, j] == -1,
+                     up_base + continue_gap_penalty,
+                     (up_base + new_gap_penalty) + pc_extra[i - 1]))
 
         best = np.maximum(diag, np.maximum(up, left))
         ptr = np.where(diag == best, 0,

@@ -74,6 +74,16 @@ def _kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
     ordered = sorted(table["cells"],
                      key=lambda c: (min(c["row_nums"], default=0),
                                     min(c["column_nums"], default=0)))
+    if not ordered and (table["reject"] or table["fix"]):
+        # fully-emptied tables still owe their provenance to the status
+        # table — emit one sentinel row (cell_num = -1) carrying it
+        rows.append({
+            "doc_id": key[0], "media_ref": key[1], "table_num": int(key[2]),
+            "cell_num": -1, "row_nums": [], "column_nums": [],
+            "cell_text": "", "is_column_header": False,
+            "is_projected_row_header": False,
+            "reject": list(table["reject"]), "fix": list(table["fix"]),
+        })
     for i, c in enumerate(ordered):
         rows.append({
             "doc_id": key[0], "media_ref": key[1], "table_num": int(key[2]),
@@ -155,10 +165,8 @@ def standardize_tables_df(tables: DataFrame) -> DataFrame:
     is_column_header,x0,y0,x1,y1>>) → standardized cells, one row each
     (``standardize_and_fix_xml_annotation``,
     scripts/process_pubmed.py:768-887)."""
-    sc = tables.sparkSession.sparkContext
-    # explicit width: AQE's bytes-based coalescing under-parallelizes
-    # CPU-heavy grouped kernels over small rows
-    return (tables.repartition(sc.defaultParallelism * 2, "doc_id")
+    from ..partitioning import widen_for_cpu
+    return (widen_for_cpu(tables, "doc_id")
             .groupBy("doc_id")
             .applyInPandas(_standardize_kernel,
                            schema=STANDARDIZED_SCHEMA))

@@ -45,16 +45,10 @@ MINHASH_SEEDS = tuple(f"mh{i}:" for i in range(8))
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Hash-repartition raw input rows on ``key`` before per-row-heavy
-    expressions (shingling, signature hashing).
-
-    Small/compacted inputs arrive as one or two scan partitions; without
-    this the whole tokenize/hash pass runs on a single task while the
-    other cores idle.  The shuffle moves raw text once (cheap, row-wise)
-    and is key-based, so results are unchanged.  On a real cluster the
-    scan is already wide and this becomes a cheap no-op-ish exchange."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism * 2, key)
+    """Keep the tokenize/hash pass wide on compacted inputs (shared
+    policy: :func:`..partitioning.widen_for_cpu`)."""
+    from ..partitioning import widen_for_cpu
+    return widen_for_cpu(df, key)
 
 
 def normalized_fingerprint(text: Column) -> Column:
@@ -269,11 +263,15 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
     band_structs = []
     for i in range(n_bands):
         lo, hi = bounds[i], bounds[i + 1]
-        mask = (1 << (hi - lo)) - 1
+        if hi - lo >= 64:
+            # max_hamming=0 → a single 64-bit band: the full signature
+            # is the band value (a 64-bit mask won't fit a LongType lit)
+            bv = F.col("sig")
+        else:
+            mask = (1 << (hi - lo)) - 1
+            bv = F.shiftrightunsigned("sig", lo).bitwiseAND(F.lit(mask))
         band_structs.append(F.struct(
-            F.lit(i).alias("bi"),
-            F.shiftrightunsigned("sig", lo).bitwiseAND(F.lit(mask))
-            .alias("bv")))
+            F.lit(i).alias("bi"), bv.alias("bv")))
     banded = (sigs.select("doc", "block", "sig",
                           F.explode(F.array(*band_structs)).alias("band"))
               .select("doc", "block", "sig",

@@ -82,14 +82,10 @@ def _locate_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _widen(df: DataFrame, *keys: str) -> DataFrame:
-    """Hash-partition on the grouping keys at 2×cores BEFORE a
-    CPU-heavy grouped kernel: the group exchange reuses this
-    partitioning (no second shuffle) and, unlike a plain groupBy
-    exchange, an explicit repartition is never coalesced by AQE — a
-    char-DP kernel over few small rows would otherwise run 4-wide on
-    32 cores (bytes-based coalescing can't see per-row CPU)."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism * 2, *keys)
+    """Keep the char-DP grouped kernels wide (shared policy:
+    :func:`..partitioning.widen_for_cpu`)."""
+    from ..partitioning import widen_for_cpu
+    return widen_for_cpu(df, *keys)
 
 
 def locate_cells_df(tables_with_words: DataFrame) -> DataFrame:

@@ -116,8 +116,13 @@ def thumbnail_plan(media: DataFrame, max_dim: int = 256) -> DataFrame:
     return dims.select(
         "media_ref", "width", "height",
         F.round(scale, 6).alias("scale"),
-        F.floor(F.col("width") * scale).cast("int").alias("out_width"),
-        F.floor(F.col("height") * scale).cast("int").alias("out_height"))
+        # bround = round-half-even, matching Python's int(round(...))
+        # in the reference MaxResize (floor would be off by one on
+        # most inputs)
+        F.bround(F.col("width") * scale, 0).cast("int")
+        .alias("out_width"),
+        F.bround(F.col("height") * scale, 0).cast("int")
+        .alias("out_height"))
 
 
 _FRAME_SCHEMA = T.StructType([

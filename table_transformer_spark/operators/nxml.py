@@ -27,6 +27,10 @@ __all__ = ["find_table_wraps", "parse_nxml_table", "scan_nxml_tables"]
 
 _WRAP_START = re.compile(r"<table-wrap |<table-wrap>")
 _WRAP_END = re.compile(r"</table-wrap>")
+# NOTE: the plain space appears twice because the REFERENCE lists both
+# "\u0020" and a literal " " (scripts/process_pubmed.py:315-316) — the
+# duplicate is the reference's own quirk, preserved for parity (an
+# NBSP-indented cell is NOT treated as indented there either)
 _INDENT_PREFIXES = (" ", " ", "\t", " ")
 
 

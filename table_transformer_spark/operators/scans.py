@@ -27,9 +27,21 @@ def tokens_with_defaults(tokens: DataFrame, order_col: Column | None = None)\
         -> DataFrame:
     """Fill absent/null reading-order keys: span_num defaults to the
     token's position (here: a provided ordering column), line_num and
-    block_num default to 0."""
+    block_num default to 0.
+
+    The defaulting path mirrors the reference's per-file enumeration
+    (src/inference.py:900-908): it numbers the rows globally and is
+    meant for one page's token list at a time.  A raw
+    ``monotonically_increasing_id`` would overflow the int cast past
+    the first partition (and silently restart per partition with ANSI
+    off), so the default is a row_number over it — single-partition by
+    construction, correct for the bounded per-page input this repair
+    is for; at corpus scale pass an ``order_col`` derived from your
+    page-local ordering instead."""
     if order_col is None:
-        order_col = F.monotonically_increasing_id()
+        from pyspark.sql import Window
+        w = Window.orderBy(F.monotonically_increasing_id())
+        order_col = F.row_number().over(w) - 1
     out = tokens
     if "span_num" not in tokens.columns:
         out = out.withColumn("span_num", order_col.cast("int"))

@@ -24,8 +24,8 @@ TOKEN_PATTERN = "[a-z]+|[0-9]+"
 
 def token_count_expr(text: Column) -> Column:
     """Number of BPE-ish tokens (letter runs / digit runs)."""
-    return F.size(F.expr(
-        f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)"))
+    return F.size(F.regexp_extract_all(F.lower(text),
+                                       F.lit(TOKEN_PATTERN), F.lit(0)))
 
 
 def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -50,12 +50,15 @@ def lang_signal(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_vowel = F.length(F.regexp_replace(text, "[^aeiou]", ""))
     n_alpha = F.length(F.regexp_replace(text, "[^a-z]", ""))
     pct = F.floor(n_vowel * 1000 / n_alpha).cast("long")
-    return df.select(
-        F.col(id_col).alias("doc"),
-        pct.alias("vowel_permille"),
-        F.when(pct >= 380, "vowel-heavy")
-        .when(pct >= 300, "latin-like")
-        .otherwise("consonant-heavy").alias("lang_class"))
+    # letterless docs carry no signal — filtered, not divided by zero
+    # (ANSI mode would otherwise kill the job on the first such doc)
+    return (df.filter(n_alpha > 0)
+            .select(
+                F.col(id_col).alias("doc"),
+                pct.alias("vowel_permille"),
+                F.when(pct >= 380, "vowel-heavy")
+                .when(pct >= 300, "latin-like")
+                .otherwise("consonant-heavy").alias("lang_class")))
 
 
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -88,10 +91,9 @@ def repetition_filters(df: DataFrame, id_col: str, text_col: str,
     m = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
                          lambda x, y: F.concat_ws(" ", x, y))
-    # keep the tokenize/shingle pass wide on compacted inputs (same
-    # rationale as dedup._spread: the scan may be one partition)
-    sc = df.sparkSession.sparkContext
-    df = df.repartition(sc.defaultParallelism * 2, id_col)
+    # keep the tokenize/shingle pass wide on compacted inputs
+    from ..partitioning import widen_for_cpu
+    df = widen_for_cpu(df, id_col)
     # explode_outer keeps sub-bigram docs as a single null-bigram row,
     # so EVERY doc gets a verdict from one pass over the input (a
     # union of a short-doc branch would scan the corpus twice)

@@ -49,13 +49,11 @@ def run_cells(documents: DataFrame, media: DataFrame,
     pages = (media_spans(documents)
              .join(media.select("media_ref", "payload"), "media_ref")
              .select("doc_id", "media_ref", "page_offset", "payload"))
-    # Explicit parallelism for the CPU-bound kernel stage: AQE's
-    # byte-based post-shuffle coalescing would pack these small-byte /
-    # high-compute page rows into a handful of partitions and serialize
-    # the Python stage.  2× cores keeps every worker busy under
-    # per-page cost variance (multi-table skew pages).
-    parallelism = pages.sparkSession.sparkContext.defaultParallelism
-    pages = pages.repartition(parallelism * 2, "media_ref")
+    # Explicit parallelism for the CPU-bound kernel stage (shared
+    # policy: partitioning.widen_for_cpu — AQE's byte-based coalescing
+    # would serialize this small-bytes/high-compute Python stage).
+    from ..partitioning import widen_for_cpu
+    pages = widen_for_cpu(pages, "media_ref")
     if fused:
         from .fused import run_cells_fused
         return run_cells_fused(pages, mode=mode)

@@ -4,9 +4,13 @@ extraction pipeline.
 The reference is a pure batch job; its incremental story is manual
 range sharding.  Here, new document files are discovered by a streaming
 source and each micro-batch runs the *same* batch extraction via
-``foreachBatch`` — exactly-once per micro-batch with the streaming
-checkpoint, composing with (not replacing) the bucket-level status
-table of :mod:`.checkpoint`.
+``foreachBatch``.  ``foreachBatch`` is at-least-once — a crash between
+the sink write and the checkpoint commit replays the batch — so the
+sink write is made idempotent: each micro-batch lands in its own
+``epoch=<id>`` directory with overwrite, and a replayed batch replaces
+its own previous partial output instead of appending a duplicate.
+This composes with (does not replace) the bucket-level status table of
+:mod:`.checkpoint`.
 """
 
 from __future__ import annotations
@@ -80,13 +84,18 @@ def sessionize_state_fn(key, pdfs, state, gap_sec: int = 1800):
         t = int(pd.Timestamp(ts).timestamp())
         if ss is None:
             ss, lt, n = t, t, 1
+        elif t < ss - gap_sec:
+            # late (within-watermark) event more than a gap BEFORE the
+            # carried session: it can't belong to it — emit it as its
+            # own closed session (its true neighbors may already have
+            # been emitted; an online sessionizer can't re-open them)
+            closed.append((key[0], t, t, 1))
         elif t - lt > gap_sec:
             closed.append((key[0], ss, lt, n))
             ss, lt, n = t, t, 1
         else:
-            # a late (within-watermark) event from an earlier micro-
-            # batch may precede the carried state: widen the session
-            # window instead of moving its end backwards
+            # a late event within a gap of the carried session widens
+            # its window instead of moving the end backwards
             ss, lt, n = min(ss, t), max(lt, t), n + 1
     if ss is not None:
         state.update((ss, lt, n))
@@ -147,8 +156,9 @@ def stream_extract(spark: SparkSession, documents_dir: str,
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # epoch-keyed overwrite = idempotent under foreachBatch replay
         (extract(batch_df, media, mode=mode)
-         .write.mode("append").parquet(out_dir))
+         .write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}"))
 
     return (stream.writeStream
             .foreachBatch(process_batch)
