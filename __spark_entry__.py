@@ -74,46 +74,32 @@ def _grits_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Operator inventory: every SQL-expressible operator from
-    SURVEY.md §2 paired with a DuckDB oracle, plus the non-SQL
-    extraction pipeline itself (rows-only check)."""
+    SURVEY.md §2 paired with a DuckDB oracle, plus the end-to-end
+    extraction pipeline and its GriTS self-evaluation (oracled against
+    the fixture corpus's *designed* ground truth)."""
     out = dict(QUERIES)
     out["extract_spans_clean"] = _extraction_query("clean")
     out["extract_spans_noisy"] = _extraction_query("noisy")
     out["grits_summary_noisy_vs_clean"] = _grits_query
-    out["canonicalize_tables"] = _canonicalize_query
     return out
-
-
-def _canonicalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FinTabNet-family canonicalization chain over extracted cells
-    (annotate PRH → remove empty → merge spanned → header rules →
-    blank absorption).  Order-sensitive kernel chain → rows-only check."""
-    from table_transformer_spark.fixtures.spark_io import documents_df, media_df
-    from table_transformer_spark.operators.canonicalize_df import (
-        canonicalize_cells_df,
-    )
-    from table_transformer_spark.pipeline.extract import run_cells
-
-    docs = documents_df(spark, _ENTRY_DOCS)
-    media = media_df(spark, _ENTRY_DOCS)
-    out = canonicalize_cells_df(run_cells(docs, media, mode="clean"))
-    # The driver's value hasher sorts the output in pandas and cannot
-    # handle list-typed cells — serialize the array columns to
-    # deterministic strings for the query-facing contract (arrays stay
-    # arrays inside the kernel chain).
-    from pyspark.sql import functions as F
-    return out.select(
-        "doc_id", "media_ref", "table_num", "cell_num",
-        F.concat_ws(",", "row_nums").alias("row_nums"),
-        F.concat_ws(",", "column_nums").alias("column_nums"),
-        "cell_text", "is_column_header", "is_projected_row_header",
-        F.concat_ws("|", "reject").alias("reject"),
-        F.concat_ws("|", "fix").alias("fix"))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL per query (see driver_queries for the paired
-    implementations).  extract_spans_* are deliberately omitted: the
-    cells kernel chain is not ANSI-SQL-expressible (driver records
-    rows-only checks)."""
-    return dict(ORACLES)
+    implementations).  The extraction-pipeline and GriTS-summary
+    oracles are literal VALUES relations emitted from the fixture
+    generator's designed truth (fixtures.design_oracle) — the same
+    design-side ground truth the pytest suite checks against, fully
+    independent of the Spark kernels."""
+    from table_transformer_spark.fixtures.design_oracle import (
+        extract_spans_oracle_sql,
+        grits_summary_oracle_sql,
+    )
+
+    out = dict(ORACLES)
+    spans_sql = extract_spans_oracle_sql(_ENTRY_DOCS)
+    out["extract_spans_clean"] = spans_sql
+    out["extract_spans_noisy"] = spans_sql
+    out["grits_summary_noisy_vs_clean"] = grits_summary_oracle_sql(
+        _ENTRY_DOCS)
+    return out

@@ -1461,6 +1461,265 @@ GROUP BY e.event_type
 
 
 # ---------------------------------------------------------------------------
+# canonicalization chain + GriTS over planted tables
+#
+# Same planting discipline as the locate family: the Spark side runs the
+# REAL kernels (canonicalize_cells_df chain / grits_table_metrics DP)
+# over table shapes designed so the expected output is hand-derivable;
+# the oracle enumerates that expected output directly — the two agree
+# iff every kernel rule fires exactly as the reference specifies.
+# ---------------------------------------------------------------------------
+
+
+def _planted_cell(rows, cols, text, hdr=False):
+    """One canonicalize-input cell struct (planted shape)."""
+    txt = text if not isinstance(text, str) else F.lit(text)
+    return F.struct(
+        F.array(*[F.lit(r) for r in rows]).alias("row_nums"),
+        F.array(*[F.lit(c) for c in cols]).alias("column_nums"),
+        txt.alias("cell_text"),
+        F.lit(hdr).alias("is_column_header"),
+        F.lit(False).alias("is_projected_row_header"),
+        F.array().cast("array<double>").alias("bbox"))
+
+
+def q_canonicalize_tables(spark, sf_dir):
+    """FinTabNet canonicalization chain (annotate PRH → remove empty
+    rows/cols → merge spanned rows/cols → header rules → blank
+    absorption; ``scripts/process_fintabnet.py:1241-1249`` order) over
+    six planted table shapes, each exercising a distinct rule:
+
+    * T0 — PRH expansion + blank absorption: blank row removed, blank
+      spanning header split then re-absorbed, vertical header chains
+      merged, a body row collapsed to a full-width projected row header;
+    * T1 — empty-column removal + first-column blank-run merge;
+    * T2 — two-column 'ambiguous header' reject;
+    * T3 — two-column numeric keep fix;
+    * T4 — rows spanned together in every column merged;
+    * T5 — columns spanned together in every row merged.
+    """
+    from .operators.canonicalize_df import canonicalize_cells_df
+
+    docs = _planted_docs(spark, sf_dir)
+    toks = F.split("text", " ")
+
+    def w(i):
+        return F.element_at(toks, i)
+
+    c = _planted_cell
+    variants = {
+        0: (  # 6 rows × 5 cols
+            [c([0], [0, 1], w(6), True), c([0], [2, 3], "", True),
+             c([0], [4], w(7), True)]
+            + [c([1], [0], w(8), True), c([1], [1], w(9), True),
+               c([1], [2], w(10), True), c([1], [3], "", True),
+               c([1], [4], w(11), True)]
+            + [c([2], [k], "") for k in range(5)]
+            + [c([3], [0], w(12))] + [c([3], [k], "") for k in range(1, 5)]
+            + [c([4], [0], w(13)), c([4], [1], w(14)), c([4], [2], w(15)),
+               c([4], [3], ""), c([4], [4], w(16))]
+            + [c([5], [0], w(17)), c([5], [1], w(18)), c([5], [2], w(19)),
+               c([5], [3], ""), c([5], [4], w(20))]),
+        1: (  # 4 rows × 4 cols, col 2 fully blank
+            [c([0], [0], w(6), True), c([0], [1], w(7), True),
+             c([0], [2], "", True), c([0], [3], w(8), True),
+             c([1], [0], w(9)), c([1], [1], w(10)), c([1], [2], ""),
+             c([1], [3], w(11)),
+             c([2], [0], ""), c([2], [1], w(12)), c([2], [2], ""),
+             c([2], [3], w(13)),
+             c([3], [0], w(14)), c([3], [1], w(15)), c([3], [2], ""),
+             c([3], [3], w(16))]),
+        2: [c([0], [0], "alpha"), c([0], [1], "beta"),
+            c([1], [0], "gamma"), c([1], [1], "delta")],
+        3: [c([0], [0], "alpha"), c([0], [1], "1,234"),
+            c([1], [0], "beta"), c([1], [1], "5")],
+        4: ([c([0], [k], w(6 + k), True) for k in range(3)]
+            + [c([1, 2], [k], w(9 + k)) for k in range(3)]
+            + [c([3], [k], w(12 + k)) for k in range(3)]),
+        5: [c([0], [0], w(6), True), c([0], [1, 2], w(7), True),
+            c([1], [0], w(8)), c([1], [1, 2], w(9)),
+            c([2], [0], w(10)), c([2], [1, 2], w(11))],
+    }
+
+    parts = None
+    for tnum, cells in variants.items():
+        part = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit("planted://canon").alias("media_ref"),
+            F.lit(tnum).alias("table_num"),
+            F.explode(F.array(*cells)).alias("cell"))
+        parts = part if parts is None else parts.unionByName(part)
+    inp = parts.select("doc_id", "media_ref", "table_num", "cell.*")
+    out = canonicalize_cells_df(inp)
+    # array columns serialized for the driver's pandas value hasher
+    return out.select(
+        "doc_id", "media_ref", "table_num", "cell_num",
+        F.concat_ws(",", "row_nums").alias("row_nums"),
+        F.concat_ws(",", "column_nums").alias("column_nums"),
+        "cell_text", "is_column_header", "is_projected_row_header",
+        F.concat_ws("|", "reject").alias("reject"),
+        F.concat_ws("|", "fix").alias("fix"))
+
+
+_MPH = "merged projected row header"
+_RER = "removed empty row"
+_REC = "removed empty column"
+_MOS = "merged oversegmented spanning cell"
+
+ORACLE_CANONICALIZE_TABLES = f"""
+-- hand-derived expected output of the canonicalize chain per planted
+-- variant (wa/wb = 1-based word indices into the doc text; lit = fixed
+-- literal text; blank cells carry lit = '').
+WITH sel AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE {_PLANT_FILTER}
+),
+tprov(table_num, reject, fix) AS (VALUES
+  (0, '', '{_MPH}|{_MPH}|{_MPH}|{_MPH}|{_RER}|{_RER}|{_RER}|{_RER}|{_RER}|{_MOS}|{_MOS}|{_MOS}'),
+  (1, '', '{_REC}|{_REC}|{_REC}|{_REC}|{_MOS}'),
+  (2, 'ambiguous header', ''),
+  (3, '', 'two column no header: numeric'),
+  (4, '', 'merged rows spanned together in every column'),
+  (5, '', 'merged columns spanned together in every row')
+),
+cells(table_num, cell_num, row_nums, column_nums, wa, wb, lit, hdr, prh) AS (VALUES
+  (0, 0,  '0',   '0,1', 6,  NULL, NULL, true,  false),
+  (0, 1,  '0,1', '2',   10, NULL, NULL, true,  false),
+  (0, 2,  '0,1', '3',   NULL, NULL, '', true,  false),
+  (0, 3,  '0,1', '4',   7,  11,   NULL, true,  false),
+  (0, 4,  '1',   '0',   8,  NULL, NULL, true,  false),
+  (0, 5,  '1',   '1',   9,  NULL, NULL, true,  false),
+  (0, 6,  '2',   '0,1,2,3,4', 12, NULL, NULL, false, true),
+  (0, 7,  '3',   '0',   13, NULL, NULL, false, false),
+  (0, 8,  '3',   '1',   14, NULL, NULL, false, false),
+  (0, 9,  '3',   '2',   15, NULL, NULL, false, false),
+  (0, 10, '3',   '3',   NULL, NULL, '', false, false),
+  (0, 11, '3',   '4',   16, NULL, NULL, false, false),
+  (0, 12, '4',   '0',   17, NULL, NULL, false, false),
+  (0, 13, '4',   '1',   18, NULL, NULL, false, false),
+  (0, 14, '4',   '2',   19, NULL, NULL, false, false),
+  (0, 15, '4',   '3',   NULL, NULL, '', false, false),
+  (0, 16, '4',   '4',   20, NULL, NULL, false, false),
+  (1, 0,  '0',   '0',   6,  NULL, NULL, true,  false),
+  (1, 1,  '0',   '1',   7,  NULL, NULL, true,  false),
+  (1, 2,  '0',   '2',   8,  NULL, NULL, true,  false),
+  (1, 3,  '1,2', '0',   9,  NULL, NULL, false, false),
+  (1, 4,  '1',   '1',   10, NULL, NULL, false, false),
+  (1, 5,  '1',   '2',   11, NULL, NULL, false, false),
+  (1, 6,  '2',   '1',   12, NULL, NULL, false, false),
+  (1, 7,  '2',   '2',   13, NULL, NULL, false, false),
+  (1, 8,  '3',   '0',   14, NULL, NULL, false, false),
+  (1, 9,  '3',   '1',   15, NULL, NULL, false, false),
+  (1, 10, '3',   '2',   16, NULL, NULL, false, false),
+  (2, 0,  '0',   '0',   NULL, NULL, 'alpha', false, false),
+  (2, 1,  '0',   '1',   NULL, NULL, 'beta',  false, false),
+  (2, 2,  '1',   '0',   NULL, NULL, 'gamma', false, false),
+  (2, 3,  '1',   '1',   NULL, NULL, 'delta', false, false),
+  (3, 0,  '0',   '0',   NULL, NULL, 'alpha', false, false),
+  (3, 1,  '0',   '1',   NULL, NULL, '1,234', false, false),
+  (3, 2,  '1',   '0',   NULL, NULL, 'beta',  false, false),
+  (3, 3,  '1',   '1',   NULL, NULL, '5',     false, false),
+  (4, 0,  '0',   '0',   6,  NULL, NULL, true,  false),
+  (4, 1,  '0',   '1',   7,  NULL, NULL, true,  false),
+  (4, 2,  '0',   '2',   8,  NULL, NULL, true,  false),
+  (4, 3,  '1',   '0',   9,  NULL, NULL, false, false),
+  (4, 4,  '1',   '1',   10, NULL, NULL, false, false),
+  (4, 5,  '1',   '2',   11, NULL, NULL, false, false),
+  (4, 6,  '2',   '0',   12, NULL, NULL, false, false),
+  (4, 7,  '2',   '1',   13, NULL, NULL, false, false),
+  (4, 8,  '2',   '2',   14, NULL, NULL, false, false),
+  (5, 0,  '0',   '0',   6,  NULL, NULL, true,  false),
+  (5, 1,  '0',   '1',   7,  NULL, NULL, true,  false),
+  (5, 2,  '1',   '0',   8,  NULL, NULL, false, false),
+  (5, 3,  '1',   '1',   9,  NULL, NULL, false, false),
+  (5, 4,  '2',   '0',   10, NULL, NULL, false, false),
+  (5, 5,  '2',   '1',   11, NULL, NULL, false, false)
+)
+SELECT s.doc_id, 'planted://canon' AS media_ref,
+       CAST(c.table_num AS INT) AS table_num,
+       CAST(c.cell_num AS INT) AS cell_num,
+       c.row_nums, c.column_nums,
+       COALESCE(c.lit, CASE WHEN c.wb IS NULL THEN s.w[c.wa]
+                            ELSE s.w[c.wa] || ' ' || s.w[c.wb] END)
+           AS cell_text,
+       c.hdr AS is_column_header, c.prh AS is_projected_row_header,
+       t.reject AS reject, t.fix AS fix
+FROM sel s CROSS JOIN cells c JOIN tprov t ON t.table_num = c.table_num
+"""
+
+
+def q_grits_planted_perturbation(spark, sf_dir):
+    """GriTS/DAR metric kernel (factored 2D-MSS + adjacency multiset,
+    ``src/grits.py:166-214`` / ``src/eval.py:83-243``) over one planted
+    controlled perturbation: table 0 is an identical 2×2 true/pred pair
+    (every metric exactly 1); table 1 perturbs one cell text 'dd'→'dx'
+    (LCS sim 0.5), giving hand-computable exact-dyadic values:
+    GriTS-Con = 2·(1+1+1+0.5)/8 = 0.875, DAR = F(2 of 4 relations) =
+    0.5, GriTS-Top/Loc = 1 (topology and geometry untouched)."""
+    from .eval.grits_distributed import grits_table_metrics
+
+    docs = _planted_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"))
+
+    def grid(texts):
+        cells = []
+        for k, t in enumerate(texts):
+            r, q = k // 2, k % 2
+            cells.append(F.struct(
+                F.array(F.lit(100.0 * q), F.lit(20.0 * r),
+                        F.lit(100.0 * q + 90.0), F.lit(20.0 * r + 15.0))
+                .alias("bbox"),
+                F.array(F.lit(r)).alias("row_nums"),
+                F.array(F.lit(q)).alias("column_nums"),
+                F.lit(t).alias("cell_text")))
+        return F.array(*cells)
+
+    def side(perturbed):
+        parts = None
+        for tnum, texts in ((0, ["aa", "bb", "cc", "dd"]),
+                            (1, ["aa", "bb", "cc",
+                                 "dx" if perturbed else "dd"])):
+            part = docs.select(
+                "doc_id", F.lit("planted://grits").alias("media_ref"),
+                F.lit(tnum).alias("table_num"),
+                F.explode(grid(texts)).alias("cell"))
+            parts = part if parts is None else parts.unionByName(part)
+        return parts.select("doc_id", "media_ref", "table_num", "cell.*")
+
+    return grits_table_metrics(side(False), side(True))
+
+
+ORACLE_GRITS_PLANTED_PERTURBATION = f"""
+-- hand-computed: identical pair → all 1; 'dd'→'dx' pair → con =
+-- 2*(3+0.5)/(4+4) = 0.875, adjacency tp = 2 of 4 → dar = 0.5,
+-- top/loc = 1 (relspan and bbox grids unchanged).  All values are
+-- exact dyadic rationals, so the float compare is exact.
+WITH sel AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id
+  FROM documents WHERE {_PLANT_FILTER}
+),
+m(table_num, grits_top, grits_top_upper_bound, grits_loc, grits_con,
+  acc_con, dar_con_original, dar_con) AS (VALUES
+  (0, 1.0, 1.0, 1.0, 1.0,   1, 1.0, 1.0),
+  (1, 1.0, 1.0, 1.0, 0.875, 0, 0.5, 0.5)
+)
+SELECT doc_id, 'planted://grits' AS media_ref,
+       CAST(table_num AS INT) AS table_num,
+       grits_top::DOUBLE AS grits_top,
+       grits_top_upper_bound::DOUBLE AS grits_top_upper_bound,
+       grits_loc::DOUBLE AS grits_loc,
+       grits_con::DOUBLE AS grits_con,
+       CAST(acc_con AS INT) AS acc_con,
+       dar_con_original::DOUBLE AS dar_con_original,
+       dar_con::DOUBLE AS dar_con,
+       CAST(4 AS INT) AS num_true_cells,
+       CAST(4 AS INT) AS num_pred_cells,
+       CAST(0 AS INT) AS num_spanning_true
+FROM sel CROSS JOIN m
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1505,6 +1764,8 @@ QUERIES = {
     "repetition_filters": q_repetition_filters,
     "ivf_topk": q_ivf_topk,
     "salted_join_agg": q_salted_join_agg,
+    "canonicalize_tables": q_canonicalize_tables,
+    "grits_planted_perturbation": q_grits_planted_perturbation,
 }
 
 ORACLES = {
@@ -1548,4 +1809,6 @@ ORACLES = {
     "repetition_filters": ORACLE_REPETITION_FILTERS,
     "ivf_topk": ORACLE_IVF_TOPK,
     "salted_join_agg": ORACLE_SALTED_JOIN_AGG,
+    "canonicalize_tables": ORACLE_CANONICALIZE_TABLES,
+    "grits_planted_perturbation": ORACLE_GRITS_PLANTED_PERTURBATION,
 }

@@ -161,25 +161,47 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             yield pd.DataFrame({"doc": docs_, "block": blocks_,
                                 "n_grams": sizes_, "gram": grams_})
 
-    exploded = (_spread(df, id_col)
+    def shingles():
+        return (_spread(df, id_col)
                 .select(F.col(id_col).alias("doc"),
                         F.col(block_col).alias("block"),
                         F.col(text_col).alias("text"))
                 .mapInPandas(shingle_gen, schema=out_schema))
-    # shuffle each gram occurrence ONCE into a per-gram posting list —
-    # no sort-merge self-join, no second shuffle of the exploded grams
-    postings = (exploded.groupBy("block", "gram")
-                .agg(F.collect_list(F.struct("doc", "n_grams"))
-                     .alias("ds")))
-    # df-cap = posting-list length cap: hot grams never expand into
-    # pairs, and the cap is a free filter on the aggregated list
-    kept = postings.filter(F.size("ds") <= max_df)
+
+    exploded = shingles()
+    # The df-cap must bound the aggregation BUFFER, not just the output:
+    # a Zipfian hot gram (a stopword bigram spans millions of docs at
+    # corpus scale) must never accumulate its full posting array inside
+    # one reducer.  Pass 1 computes per-gram document frequency with a
+    # count aggregation — map-side partial aggregation keeps its state
+    # O(1) per key and the shuffled relation is one row per distinct
+    # (block, gram).  Only grams with df ≤ max_df survive into the
+    # collect_list (left-semi join on the grouping keys), so the
+    # largest posting buffer any task ever holds is max_df entries.
+    # The shingle kernel runs twice (it is stateless and embarrassingly
+    # parallel; recomputing one tokenize pass is cheaper at corpus
+    # scale than localCheckpoint-ing the full exploded gram relation to
+    # executor disks), while the exploded relation itself is shuffled
+    # in full only once — the pre-pass shuffles only the partial-agg
+    # counts.
+    gram_df = (exploded.groupBy("block", "gram")
+               .agg(F.count(F.lit(1)).alias("df")))
     if log_dropped:
         import logging
-        n_dropped = postings.filter(F.size("ds") > max_df).count()
+        n_dropped = gram_df.filter(F.col("df") > max_df).count()
         logging.getLogger(__name__).info(
             "ngram_jaccard_pairs: dropped %d hot grams (df > %d)",
             n_dropped, max_df)
+    kept_grams = gram_df.filter(F.col("df") <= max_df) \
+                        .select("block", "gram")
+    # semi-join then collect: the join shuffles both sides onto
+    # (block, gram), and the groupBy reuses that partitioning — no
+    # extra shuffle for the aggregation itself
+    kept = (shingles()
+            .join(kept_grams, ["block", "gram"], "left_semi")
+            .groupBy("block", "gram")
+            .agg(F.collect_list(F.struct("doc", "n_grams"))
+                 .alias("ds")))
     # posting list → candidate pairs (≤ max_df² expansion per gram,
     # pipelined, no shuffle); doc1 < doc2 canonical order
     pairs = (kept

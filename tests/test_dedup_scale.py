@@ -203,3 +203,25 @@ def test_repetition_filters_short_docs_get_verdict(spark):
     assert out[2] == (1, 0, 0, 1)            # "" splits to one empty tok
     assert out[3][3] == 0                     # all-repeat doc filtered
     assert out[4] == (3, 0, 500, 0)           # 2 bigrams, top freq 1
+
+
+def test_ngram_hot_gram_never_materializes_posting(spark):
+    """Structural guarantee for Zipfian text: the df pre-count +
+    left-semi join must drop hot grams BEFORE collect_list, so the
+    posting-list aggregation buffer is bounded by max_df even when one
+    gram spans the whole corpus (the round-2 OOM hazard)."""
+    # planted mega-gram: every doc contains "mega gram" (df = n_docs)
+    rows = [(i, "blk", f"mega gram unique{i} tail{i}") for i in range(300)]
+    rows += [(1000, "blk", "rare pair of tokens here"),
+             (1001, "blk", "rare pair of tokens here")]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, source string, text string")
+    out = ngram_jaccard_pairs(df, "doc_id", "text", "source",
+                              n=2, min_intersection=1, max_df=50)
+    assert {(r.doc1, r.doc2) for r in out.collect()} == {(1000, 1001)}
+    # plan shape: the collect_list aggregate sits ABOVE the LeftSemi
+    # df-filter join (parents print before children in the tree), so
+    # no full posting list for the mega-gram is ever buffered
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" in plan and "LeftSemi" in plan
+    assert plan.index("collect_list") < plan.index("LeftSemi")
