@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "random_shuffle_cap",
     "repetition_filters",
     "ivf_topk",
+    "canonicalize_tables",
 ]
 
 

@@ -1427,6 +1427,34 @@ FROM ranked WHERE rank <= 1
 """
 
 
+def q_ivf_cell_stats(spark, sf_dir):
+    """IVF cell-size telemetry (the skew guard run before ivf_topk:
+    a hot cell re-quadratics the per-cell matmul)."""
+    from .operators.similarity import ivf_cell_stats
+    return ivf_cell_stats(load(spark, sf_dir, "embeddings"),
+                          "vec_id", "embedding", n_cells=16)
+
+
+ORACLE_IVF_CELL_STATS = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         {_IVF_COS.format(a='e', b='c.cvec')} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT cell, count(*) AS n_vecs FROM assigned GROUP BY cell
+"""
+
+
 def q_salted_join_agg(spark, sf_dir):
     """Explicit hot-key salting: events (5 event types → every key is
     hot) salted-joined to a per-type dimension, then aggregated.
@@ -1541,15 +1569,15 @@ def q_canonicalize_tables(spark, sf_dir):
             c([2], [0], w(10)), c([2], [1, 2], w(11))],
     }
 
-    parts = None
-    for tnum, cells in variants.items():
-        part = docs.select(
-            F.col("doc_id").cast("string").alias("doc_id"),
-            F.lit("planted://canon").alias("media_ref"),
-            F.lit(tnum).alias("table_num"),
-            F.explode(F.array(*cells)).alias("cell"))
-        parts = part if parts is None else parts.unionByName(part)
-    inp = parts.select("doc_id", "media_ref", "table_num", "cell.*")
+    # all six variants ride one scan: every cell struct is tagged with
+    # its table_num and the whole plant explodes in a single generate
+    tagged = [F.struct(F.lit(tnum).alias("table_num"), cell.alias("cell"))
+              for tnum, cells in variants.items() for cell in cells]
+    inp = (docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       F.explode(F.array(*tagged)).alias("tc"))
+           .select("doc_id", F.lit("planted://canon").alias("media_ref"),
+                   F.col("tc.table_num").alias("table_num"),
+                   "tc.cell.*"))
     out = canonicalize_cells_df(inp)
     # array columns serialized for the driver's pandas value hasher
     return out.select(
@@ -1763,6 +1791,7 @@ QUERIES = {
     "sessionize_stream_stateful": q_sessionize_stream_stateful,
     "repetition_filters": q_repetition_filters,
     "ivf_topk": q_ivf_topk,
+    "ivf_cell_stats": q_ivf_cell_stats,
     "salted_join_agg": q_salted_join_agg,
     "canonicalize_tables": q_canonicalize_tables,
     "grits_planted_perturbation": q_grits_planted_perturbation,
@@ -1808,6 +1837,7 @@ ORACLES = {
     "sessionize_stream_stateful": ORACLE_SESSIONIZE_STREAM_STATEFUL,
     "repetition_filters": ORACLE_REPETITION_FILTERS,
     "ivf_topk": ORACLE_IVF_TOPK,
+    "ivf_cell_stats": ORACLE_IVF_CELL_STATS,
     "salted_join_agg": ORACLE_SALTED_JOIN_AGG,
     "canonicalize_tables": ORACLE_CANONICALIZE_TABLES,
     "grits_planted_perturbation": ORACLE_GRITS_PLANTED_PERTURBATION,

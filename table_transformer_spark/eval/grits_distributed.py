@@ -89,12 +89,20 @@ def grits_table_metrics(true_cells: DataFrame,
     """Per-table GriTS/DAR metrics: cogroup on the table key, metric
     kernel per pair.  Tables present on only one side still produce a
     row (empty-side F-score conventions apply)."""
+    from ..partitioning import widen_for_cpu
+
     cols = TABLE_KEY + ["bbox", "row_nums", "column_nums", "cell_text"]
     # fresh aliases give each side distinct expression ids, so
     # true==pred (self-evaluation) does not trip the ambiguous
-    # self-join analyzer check
-    left = true_cells.select(*[F.col(c).alias(c) for c in cols])
-    right = pred_cells.select(*[F.col(c).alias(c) for c in cols])
+    # self-join analyzer check; explicit widen on both sides — the DP
+    # metric kernels are CPU-bound on tiny rows, and AQE's byte-based
+    # coalescing would otherwise run every table pair in one task
+    # (user repartition satisfies the cogroup's hash-clustered
+    # distribution, so no extra shuffle is added)
+    left = widen_for_cpu(
+        true_cells.select(*[F.col(c).alias(c) for c in cols]), *TABLE_KEY)
+    right = widen_for_cpu(
+        pred_cells.select(*[F.col(c).alias(c) for c in cols]), *TABLE_KEY)
     grouped_true = left.groupBy(*TABLE_KEY)
     grouped_pred = right.groupBy(*TABLE_KEY)
     return grouped_true.cogroup(grouped_pred).applyInPandas(

@@ -104,8 +104,14 @@ def _kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def canonicalize_cells_df(cells: DataFrame) -> DataFrame:
-    """CELL_SCHEMA rows → canonicalized cells + provenance, per table."""
-    return (cells
+    """CELL_SCHEMA rows → canonicalized cells + provenance, per table.
+
+    Explicit widen before the grouped kernel: the canonicalize chain is
+    CPU-bound per group while the rows are tiny, so AQE's byte-based
+    coalescing would otherwise serialize every table into one task
+    (shared policy: ``partitioning.widen_for_cpu``)."""
+    from ..partitioning import widen_for_cpu
+    return (widen_for_cpu(cells, "doc_id", "media_ref", "table_num")
             .groupBy("doc_id", "media_ref", "table_num")
             .applyInPandas(_kernel, schema=CANONICAL_SCHEMA))
 

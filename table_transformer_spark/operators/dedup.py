@@ -161,44 +161,44 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             yield pd.DataFrame({"doc": docs_, "block": blocks_,
                                 "n_grams": sizes_, "gram": grams_})
 
-    def shingles():
-        return (_spread(df, id_col)
-                .select(F.col(id_col).alias("doc"),
-                        F.col(block_col).alias("block"),
-                        F.col(text_col).alias("text"))
-                .mapInPandas(shingle_gen, schema=out_schema))
-
-    exploded = shingles()
     # The df-cap must bound the aggregation BUFFER, not just the output:
     # a Zipfian hot gram (a stopword bigram spans millions of docs at
     # corpus scale) must never accumulate its full posting array inside
-    # one reducer.  Pass 1 computes per-gram document frequency with a
-    # count aggregation — map-side partial aggregation keeps its state
-    # O(1) per key and the shuffled relation is one row per distinct
-    # (block, gram).  Only grams with df ≤ max_df survive into the
-    # collect_list (left-semi join on the grouping keys), so the
-    # largest posting buffer any task ever holds is max_df entries.
-    # The shingle kernel runs twice (it is stateless and embarrassingly
-    # parallel; recomputing one tokenize pass is cheaper at corpus
-    # scale than localCheckpoint-ing the full exploded gram relation to
-    # executor disks), while the exploded relation itself is shuffled
-    # in full only once — the pre-pass shuffles only the partial-agg
-    # counts.
-    gram_df = (exploded.groupBy("block", "gram")
-               .agg(F.count(F.lit(1)).alias("df")))
+    # one reducer.  Plan:
+    #
+    # 1. shingle ONCE, localCheckpoint the exploded gram relation
+    #    (eager=False; ContextCleaner frees the blocks) — one extra
+    #    local-disk pass, on par with the shuffle spill it sits next
+    #    to, in exchange for not running the Python tokenize twice;
+    # 2. per-gram document frequency via count aggregation (map-side
+    #    partial agg: O(1) state per key, the shuffled relation is one
+    #    row per distinct gram), keep only the HOT side (df > max_df)
+    #    — the Zipf head, small at any corpus scale;
+    # 3. left-ANTI join the exploded relation against the hot grams.
+    #    The filter side being the small one, AQE turns this into a
+    #    broadcast anti-join at runtime, so hot-gram occurrences are
+    #    dropped map-side and never shuffle;
+    # 4. collect_list over the survivors — the largest posting buffer
+    #    any task ever holds is max_df entries, and the groupBy's
+    #    shuffle is the only full pass over the (already-thinned)
+    #    gram stream.
+    exploded = (_spread(df, id_col)
+                .select(F.col(id_col).alias("doc"),
+                        F.col(block_col).alias("block"),
+                        F.col(text_col).alias("text"))
+                .mapInPandas(shingle_gen, schema=out_schema)
+                .localCheckpoint(eager=False))
+    hot_grams = (exploded.groupBy("block", "gram")
+                 .agg(F.count(F.lit(1)).alias("df"))
+                 .filter(F.col("df") > max_df)
+                 .select("block", "gram"))
     if log_dropped:
         import logging
-        n_dropped = gram_df.filter(F.col("df") > max_df).count()
         logging.getLogger(__name__).info(
             "ngram_jaccard_pairs: dropped %d hot grams (df > %d)",
-            n_dropped, max_df)
-    kept_grams = gram_df.filter(F.col("df") <= max_df) \
-                        .select("block", "gram")
-    # semi-join then collect: the join shuffles both sides onto
-    # (block, gram), and the groupBy reuses that partitioning — no
-    # extra shuffle for the aggregation itself
-    kept = (shingles()
-            .join(kept_grams, ["block", "gram"], "left_semi")
+            hot_grams.count(), max_df)
+    kept = (exploded
+            .join(hot_grams, ["block", "gram"], "left_anti")
             .groupBy("block", "gram")
             .agg(F.collect_list(F.struct("doc", "n_grams"))
                  .alias("ds")))

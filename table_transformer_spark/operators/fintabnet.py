@@ -10,10 +10,18 @@
   (``document_table_index``) assigned in file order, exactly like the
   reference's ``file_idx_to_table_idx``.
 
-The scan reads via ``spark.read.text`` + ``zipWithIndex`` (file splits
-are offset-ordered, so indices equal line numbers) — the one RDD hop in
-the repo, used precisely where per-partition order matters; everything
-after is DataFrame algebra.
+The scan is pure DataFrame algebra: line order is recovered from the
+hidden file-metadata columns — within a scan task rows of one split
+arrive in offset order (``monotonically_increasing_id`` is monotone
+there), and splits of one file are ordered by ``_metadata.
+file_block_start`` — so ``row_number() over (partition by file_path
+order by block_start, mid)`` reproduces exact per-file line numbers
+with no RDD hop, no extra count job, and no Python serialization,
+robust to Spark's size-ordered split bin-packing.  ``line_idx`` is
+per *source file*: a glob of several JSONLs numbers each file
+independently (interleaving files can therefore never corrupt the
+``document_table_index`` assignment, which orders by source file
+first).
 """
 
 from __future__ import annotations
@@ -36,6 +44,11 @@ def create_table_dict(html: str, pdf_cells) -> dict:
     cells = html_to_cells(html) or []
 
     pdf_cells = list(pdf_cells)
+    if not cells:
+        # the reference crashes on max() of the empty location list and
+        # the table is dropped — surface that as an explicit reject so
+        # degenerate annotations never pass the validity gate silently
+        table["reject"].append("no cells parsed")
     if len(cells) != len(pdf_cells):
         table["reject"].append("annotation mismatch")
     for cell, pdf_cell in zip(cells, pdf_cells):
@@ -52,7 +65,7 @@ def create_table_dict(html: str, pdf_cells) -> dict:
     num_rows = max((max(c["row_nums"]) for c in cells), default=-1) + 1
     num_columns = max((max(c["column_nums"]) for c in cells),
                       default=-1) + 1
-    if num_rows * num_columns != len(set(locations)):
+    if cells and num_rows * num_columns != len(set(locations)):
         table["reject"].append("HTML missing grid cells")
 
     table["cells"] = cells
@@ -81,18 +94,24 @@ FINTABNET_SCHEMA = T.StructType([
 def fintabnet_jsonl_scan(spark: SparkSession, path: str) -> DataFrame:
     """FinTabNet_1.0.0_cell_*.jsonl → one row per table:
     (line_idx, filename, document_id, document_table_index, table_id,
-    split, structure_html, pdf_cells)."""
-    lines = (spark.read.text(path).rdd
-             .zipWithIndex()
-             .map(lambda t: (t[1], t[0].value)))
-    raw = spark.createDataFrame(lines, "line_idx long, value string")
-    parsed = raw.select(
-        "line_idx",
-        F.from_json("value", FINTABNET_SCHEMA).alias("j"))
+    split, structure_html, pdf_cells).  ``line_idx`` is the exact
+    per-source-file line number (see module docstring)."""
+    raw = (spark.read.text(path)
+           .select("value",
+                   F.col("_metadata.file_path").alias("src_file"),
+                   F.col("_metadata.file_block_start")
+                   .alias("block_start"),
+                   F.monotonically_increasing_id().alias("mid")))
+    wline = Window.partitionBy("src_file").orderBy("block_start", "mid")
+    parsed = (raw
+              .withColumn("line_idx",
+                          (F.row_number().over(wline) - 1).cast("long"))
+              .select("src_file", "line_idx",
+                      F.from_json("value", FINTABNET_SCHEMA).alias("j")))
     doc_id = F.array_join(
         F.split(F.element_at(F.split(F.col("j.filename"), r"\."), 1), "/"),
         "_")
-    w = Window.partitionBy("document_id").orderBy("line_idx")
+    w = Window.partitionBy("document_id").orderBy("src_file", "line_idx")
     return (parsed.select(
                 "line_idx",
                 F.col("j.filename").alias("filename"),
@@ -101,6 +120,8 @@ def fintabnet_jsonl_scan(spark: SparkSession, path: str) -> DataFrame:
                 F.col("j.split").alias("split"),
                 F.array_join("j.html.structure.tokens", "")
                 .alias("structure_html"),
-                F.col("j.html.cells").alias("pdf_cells"))
+                F.col("j.html.cells").alias("pdf_cells"),
+                "src_file")
             .withColumn("document_table_index",
-                        F.row_number().over(w) - 1))
+                        F.row_number().over(w) - 1)
+            .drop("src_file"))

@@ -14,10 +14,11 @@
 * :func:`aggregate_boundaries_df` — ``aggregate_cell_bboxes``
   (scripts/process_pubmed.py:890-1018) as pure column algebra: three
   groupBy min/max passes + broadcast-joined snapping, no Python in the
-  loop.  The kernel twin (:mod:`..kernels.locate`) replicates the
-  reference's falsy-0.0 quirk; this scale path uses plain min/max
-  (identical results whenever no coordinate is exactly 0.0 — planted
-  layouts keep an offset to stay clear of it).
+  loop.  The reference's falsy-0.0 quirk (a stored 0.0 counts as
+  unset, so the running min restarts after the last 0.0 in cell order)
+  is replicated exactly — see :func:`_quirk_min`; for non-negative
+  coordinates the max slots are provably unaffected (a truthy running
+  max can never be zeroed), so they stay plain ``max``.
 """
 
 from __future__ import annotations
@@ -137,6 +138,31 @@ def locate_caption_df(pages_with_captions: DataFrame) -> DataFrame:
             .applyInPandas(_caption_kernel, schema=CAPTION_SCHEMA))
 
 
+def _quirk_min(with_bbox: DataFrame, keys, idx_col: str,
+               val_col: str) -> DataFrame:
+    """The reference's falsy-guarded running min (``_grow``,
+    scripts/process_pubmed.py:905-907 semantics): a stored 0.0 counts
+    as unset, so the next value *replaces* it instead of minimizing.
+    Order-independent form (values ≥ 0, iterated in cell_num order):
+    the result is the min of the values AFTER the last 0.0 — or 0.0
+    itself when the zero is final.  One window + one aggregation, both
+    on the same (keys, idx) partitioning → a single shuffle, same as
+    the plain groupBy it replaces."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys, idx_col)
+    tagged = with_bbox.withColumn(
+        "_z", F.max(F.when(F.col(val_col) == 0.0,
+                           F.col("cell_num"))).over(w))
+    return (tagged.groupBy(*keys, F.col(idx_col).alias("idx"))
+            .agg(F.when(F.max("_z").isNull(), F.min(val_col))
+                 .otherwise(F.coalesce(
+                     F.min(F.when(F.col("cell_num") > F.col("_z"),
+                                  F.col(val_col))),
+                     F.lit(0.0)))
+                 .alias(val_col)))
+
+
 def aggregate_boundaries_df(located: DataFrame) -> DataFrame:
     """Located cells → per-row/per-column boundary boxes, snapped to the
     table extent (non-rotated path of ``aggregate_cell_bboxes``).
@@ -172,8 +198,7 @@ def aggregate_boundaries_df(located: DataFrame) -> DataFrame:
                .distinct())
     # a row's top comes from cells whose min-row it is; bottom from
     # cells whose max-row it is (reference lines 950-963)
-    row_top = (with_bbox.groupBy(*keys, F.col("row_lo").alias("idx"))
-               .agg(F.min("y0").alias("y0")))
+    row_top = _quirk_min(with_bbox, keys, "row_lo", "y0")
     row_bot = (with_bbox.groupBy(*keys, F.col("row_hi").alias("idx"))
                .agg(F.max("y1").alias("y1")))
     rows = (row_idx.join(row_top, keys + ["idx"], "left")
@@ -182,8 +207,7 @@ def aggregate_boundaries_df(located: DataFrame) -> DataFrame:
             .select(*keys, F.lit("row").alias("kind"), "idx",
                     F.col("tx0").alias("x0"), "y0",
                     F.col("tx1").alias("x1"), "y1"))
-    col_left = (with_bbox.groupBy(*keys, F.col("col_lo").alias("idx"))
-                .agg(F.min("x0").alias("x0")))
+    col_left = _quirk_min(with_bbox, keys, "col_lo", "x0")
     col_right = (with_bbox.groupBy(*keys, F.col("col_hi").alias("idx"))
                  .agg(F.max("x1").alias("x1")))
     cols = (col_idx.join(col_left, keys + ["idx"], "left")

@@ -54,9 +54,11 @@ def _decode_fixture(payload: bytes) -> dict:
 def _decode_image(payload: bytes) -> dict:
     """Decode a media payload to {width, height, mode}.
 
-    STUB: real image decoding requires PIL, which is unavailable here —
-    a non-fixture payload raises NotImplementedError instead of
-    guessing.
+    Fixture payloads (zlib-JSON pages) decode with the fixture codec;
+    anything else takes the real PIL branch when PIL is importable
+    (exercised by the ``importorskip`` test when the library exists)
+    and raises ``NotImplementedError`` with a clear message when it is
+    not — never guesses.
     """
     b = bytes(payload)
     if b[:1] == _FIXTURE_MAGIC:
@@ -67,7 +69,10 @@ def _decode_image(payload: bytes) -> dict:
         raise NotImplementedError(
             "real image decode needs PIL; only fixture payloads are "
             "decodable in this environment")
-    raise NotImplementedError("real-codec path not wired in this build")
+    import io
+    with Image.open(io.BytesIO(b)) as img:
+        return {"width": int(img.width), "height": int(img.height),
+                "mode": str(img.mode)}
 
 
 def media_metadata(media: DataFrame) -> DataFrame:

@@ -208,14 +208,90 @@ def lsh_bucketed_topk(df: DataFrame, id_col: str, vec_col: str,
                     F.round("cos", 6).alias("cos")))
 
 
+_MAX_CODEBOOK = 1 << 16  # broadcast codebooks stay driver-tiny
+
+
+def _ivf_assign(df: DataFrame, id_col: str, vec_col: str,
+                n_cells: int, codebook: DataFrame | None) -> DataFrame:
+    """Shared IVF assignment stage: broadcast the codebook, assign each
+    vector to its max-cosine centroid with one BLAS matmul per Arrow
+    batch (ties → lowest centroid id).  Returns (vec_id, cell, vec).
+
+    ``codebook`` is a (cid, cvec) DataFrame — the k-means codebook a
+    production run trains offline.  When omitted, the ``n_cells``
+    lowest-id vectors stand in (deterministic, test/bench default); the
+    plan is identical either way."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if codebook is None:
+        codebook = (df.filter(F.col(id_col) < n_cells)
+                    .select(F.col(id_col).alias("cid"),
+                            F.col(vec_col).alias("cvec")))
+    cents = codebook.select("cid", "cvec") \
+                    .orderBy("cid").limit(_MAX_CODEBOOK + 1).collect()
+    if len(cents) > _MAX_CODEBOOK:
+        raise ValueError(
+            f"ivf codebook exceeds {_MAX_CODEBOOK} centroids — that no "
+            "longer broadcasts; shard the index or coarsen the codebook")
+    if len(cents) < n_cells:
+        raise ValueError(
+            f"ivf codebook needs {n_cells} centroids; found {len(cents)} "
+            "(a degenerate codebook re-quadratics the per-cell search — "
+            "train/choose a full one)")
+    cids = np.array([r["cid"] for r in cents], dtype=np.int64)
+    cmat = np.array([list(r["cvec"]) for r in cents], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    bc = df.sparkSession.sparkContext.broadcast((cids, cmat, cnorm))
+
+    assign_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.LongType()),
+        T.StructField("vec", df.schema[vec_col].dataType),
+    ])
+
+    def assign(batches):
+        ci, cm, cn = bc.value
+        for pdf in batches:
+            q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            sims = (q @ cm.T) / (qn[:, None] * cn[None, :])
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                # argmax returns the FIRST max → lowest cid on ties
+                # (cids are collected in ascending cid order)
+                "cell": ci[sims.argmax(axis=1)],
+                "vec": pdf[vec_col]})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, schema=assign_schema)
+
+
+def ivf_cell_stats(df: DataFrame, id_col: str, vec_col: str,
+                   n_cells: int = 16,
+                   codebook: DataFrame | None = None) -> DataFrame:
+    """Cell-size telemetry: (cell, n_vecs) histogram — the IVF twin of
+    :func:`lsh_bucket_stats`.  Run before a big IVF job: a cell holding
+    ``m`` vectors costs an ``m×m`` matmul in :func:`ivf_topk`, so a
+    skewed cell (hot centroid) re-quadratics the search exactly like an
+    oversized LSH bucket.  If one dominates, retrain the codebook with
+    more cells (n_cells ∝ N) or split the hot cell."""
+    return (_ivf_assign(df, id_col, vec_col, n_cells, codebook)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_vecs")))
+
+
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
-             n_cells: int = 16) -> DataFrame:
+             n_cells: int = 16,
+             codebook: DataFrame | None = None) -> DataFrame:
     """IVF-style approximate top-k: assign every vector to its nearest
     centroid ("inverted-file cell"), search only within the cell.
 
-    Centroids here are the ``n_cells`` lowest-id vectors — a
-    deterministic stand-in for the k-means codebook a production run
-    trains offline; the PLAN is the production plan either way:
+    ``codebook`` — a (cid, cvec) DataFrame trained offline (k-means);
+    defaults to the ``n_cells`` lowest-id vectors, a deterministic
+    stand-in with the identical plan:
 
     1. collect + broadcast the (tiny) codebook;
     2. Arrow-batched assignment kernel: one BLAS matmul per batch,
@@ -226,46 +302,16 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
        bit count, see the module docstring's cardinality argument).
 
     No per-pair rows ever materialize — the quadratic lives inside a
-    bounded per-cell matmul.  Output shape matches
-    :func:`brute_force_topk`; vectors alone in their cell yield no
-    rows (approximate by design)."""
+    bounded per-cell matmul; check :func:`ivf_cell_stats` first to
+    confirm no cell is hot enough to break that bound.  Output shape
+    matches :func:`brute_force_topk`; vectors alone in their cell
+    yield no rows (approximate by design)."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    cents = (df.filter(F.col(id_col) < n_cells)
-             .select(F.col(id_col).alias("cid"), F.col(vec_col))
-             .orderBy("cid").collect())
-    if len(cents) < n_cells:
-        raise ValueError(
-            f"ivf_topk codebook needs ids 0..{n_cells - 1} present; "
-            f"found {len(cents)} (a degenerate codebook re-quadratics "
-            "the per-cell search — train/choose a full one)")
-    cmat = np.array([list(r[1]) for r in cents], dtype=np.float64)
-    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
-    bc = df.sparkSession.sparkContext.broadcast((cmat, cnorm))
-
-    assign_schema = T.StructType([
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("cell", T.IntegerType()),
-        T.StructField("vec", df.schema[vec_col].dataType),
-    ])
-
-    def assign(batches):
-        cm, cn = bc.value
-        for pdf in batches:
-            q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            qn = np.sqrt((q * q).sum(axis=1))
-            sims = (q @ cm.T) / (qn[:, None] * cn[None, :])
-            yield pd.DataFrame({
-                "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
-                # argmax returns the FIRST max → lowest cid on ties
-                "cell": sims.argmax(axis=1).astype(np.int32),
-                "vec": pdf[vec_col]})
-
-    assigned = df.select(id_col, vec_col).mapInPandas(
-        assign, schema=assign_schema)
+    assigned = _ivf_assign(df, id_col, vec_col, n_cells, codebook)
 
     out_schema = T.StructType([
         T.StructField("vec_id", T.LongType()),

@@ -80,16 +80,26 @@ def sessionize_state_fn(key, pdfs, state, gap_sec: int = 1800):
     if state.exists:
         ss, lt, n = state.get
     closed = []
+    far = None  # running group of far-late events (start, last, n)
     for ts in events["ts"]:
         t = int(pd.Timestamp(ts).timestamp())
         if ss is None:
             ss, lt, n = t, t, 1
         elif t < ss - gap_sec:
-            # late (within-watermark) event more than a gap BEFORE the
-            # carried session: it can't belong to it — emit it as its
-            # own closed session (its true neighbors may already have
-            # been emitted; an online sessionizer can't re-open them)
-            closed.append((key[0], t, t, 1))
+            # late (within-watermark) events more than a gap BEFORE the
+            # carried session: they can't belong to it (their true
+            # neighbors may already have been emitted; an online
+            # sessionizer can't re-open them), but consecutive far-late
+            # events within a gap of EACH OTHER form one session, same
+            # rule as everywhere else.  Sorted ascending, they are a
+            # prefix: the carried ss only decreases via the widening
+            # branch, which requires t ≥ ss - gap.
+            if far is not None and t - far[1] <= gap_sec:
+                far = (far[0], t, far[2] + 1)
+            else:
+                if far is not None:
+                    closed.append((key[0], *far))
+                far = (t, t, 1)
         elif t - lt > gap_sec:
             closed.append((key[0], ss, lt, n))
             ss, lt, n = t, t, 1
@@ -97,6 +107,8 @@ def sessionize_state_fn(key, pdfs, state, gap_sec: int = 1800):
             # a late event within a gap of the carried session widens
             # its window instead of moving the end backwards
             ss, lt, n = min(ss, t), max(lt, t), n + 1
+    if far is not None:
+        closed.append((key[0], *far))
     if ss is not None:
         state.update((ss, lt, n))
         # flush the open session once event time passes last + gap
@@ -113,7 +125,13 @@ def sessionize_stream(spark: SparkSession, events_dir: str, event_schema,
     session (sessions close on an over-gap successor event or on
     event-time timeout once the watermark passes).  State lives per
     user_id; scale-out is the state-store shuffle on user_id, exactly
-    the keyed-state pattern a 100 TB clickstream job would run."""
+    the keyed-state pattern a 100 TB clickstream job would run.
+
+    With the default ``watermark`` (10 min) < ``gap_sec`` (30 min) a
+    within-watermark event can never be far-late (more than a gap
+    before the carried session start); configuring watermark > gap
+    makes that branch reachable, where far-late runs are sessionized
+    among themselves by the same gap rule."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 

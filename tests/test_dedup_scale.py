@@ -219,9 +219,48 @@ def test_ngram_hot_gram_never_materializes_posting(spark):
     out = ngram_jaccard_pairs(df, "doc_id", "text", "source",
                               n=2, min_intersection=1, max_df=50)
     assert {(r.doc1, r.doc2) for r in out.collect()} == {(1000, 1001)}
-    # plan shape: the collect_list aggregate sits ABOVE the LeftSemi
-    # df-filter join (parents print before children in the tree), so
+    # plan shape: the collect_list aggregate sits ABOVE the LeftAnti
+    # hot-gram join (parents print before children in the tree), so
     # no full posting list for the mega-gram is ever buffered
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    assert "collect_list" in plan and "LeftSemi" in plan
-    assert plan.index("collect_list") < plan.index("LeftSemi")
+    assert "collect_list" in plan and "LeftAnti" in plan
+    assert plan.index("collect_list") < plan.index("LeftAnti")
+
+
+def test_ivf_cell_stats_flags_skewed_cell(spark):
+    """Telemetry must surface a hot cell: 8 vectors cluster around
+    centroid 0, one sits on centroid 1."""
+    from table_transformer_spark.operators.similarity import ivf_cell_stats
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]           # codebook ids
+    rows += [(10 + i, [1.0, 0.01 * i]) for i in range(8)]  # hot cell 0
+    rows += [(50, [0.0, 2.0])]                           # lone cell 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = {r.cell: r.n_vecs
+             for r in ivf_cell_stats(df, "vec_id", "embedding",
+                                     n_cells=2).collect()}
+    assert stats == {0: 9, 1: 2}  # centroids assign to themselves
+
+
+def test_ivf_topk_accepts_pretrained_codebook(spark):
+    """A (cid, cvec) codebook DataFrame steers the assignment; cell ids
+    are the trained centroid ids, not positional indices."""
+    from table_transformer_spark.operators.similarity import (
+        ivf_cell_stats,
+        ivf_topk,
+    )
+
+    vecs = [(100, [1.0, 0.0]), (101, [1.0, 0.05]),
+            (200, [0.0, 1.0]), (201, [0.05, 1.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cb = spark.createDataFrame([(7, [1.0, 0.0]), (9, [0.0, 1.0])],
+                               "cid long, cvec array<float>")
+    stats = {r.cell: r.n_vecs
+             for r in ivf_cell_stats(df, "vec_id", "embedding",
+                                     n_cells=2, codebook=cb).collect()}
+    assert stats == {7: 2, 9: 2}
+    got = {(r.vec_id, r.neighbor_id)
+           for r in ivf_topk(df, "vec_id", "embedding", k=1,
+                             n_cells=2, codebook=cb).collect()}
+    # neighbors only within a cell: the x-cluster pairs up, so does y
+    assert got == {(100, 101), (101, 100), (200, 201), (201, 200)}

@@ -150,3 +150,50 @@ def test_fixpoint_rejected_boundary_no_crash():
     iters = extract_pdf_text_fixpoint(table, page_words)
     assert iters == 0
     assert "undetermined row boundary" in table["reject"]
+
+
+def test_scan_is_rdd_free_and_orders_multifile_globs(spark, tmp_path):
+    """Line order must come from file-metadata columns (no RDD hop, no
+    zipWithIndex count job), and a glob over several JSONLs must number
+    lines per file — interleaved reads can never corrupt
+    document_table_index."""
+    import inspect
+    import json
+
+    src = inspect.getsource(fintabnet_jsonl_scan)
+    assert ".rdd" not in src and "zipWithIndex" not in src
+
+    def entry(doc, tid):
+        return json.dumps({
+            "filename": f"{doc}.pdf", "table_id": tid, "split": "train",
+            "html": {"structure": {"tokens":
+                     ["<table>", "<tr>", "<td>", "</td>", "</tr>",
+                      "</table>"]},
+                     "cells": [{"tokens": ["x"],
+                                "bbox": [0.0, 0.0, 1.0, 1.0]}]}})
+
+    d = tmp_path / "glob"
+    d.mkdir()
+    # same document appears in one file only; several tables per doc
+    (d / "a.jsonl").write_text("\n".join(
+        [entry("docA", 1), entry("docA", 2), entry("docB", 7)]))
+    (d / "b.jsonl").write_text("\n".join(
+        [entry("docC", 3), entry("docC", 4), entry("docC", 5)]))
+
+    rows = fintabnet_jsonl_scan(spark, str(d / "*.jsonl")).collect()
+    by_table = {r.table_id: r for r in rows}
+    # per-file line numbering
+    assert [by_table[t].line_idx for t in (1, 2, 7)] == [0, 1, 2]
+    assert [by_table[t].line_idx for t in (3, 4, 5)] == [0, 1, 2]
+    # document_table_index follows in-file order per document
+    assert [by_table[t].document_table_index for t in (1, 2)] == [0, 1]
+    assert [by_table[t].document_table_index for t in (3, 4, 5)] == [0, 1, 2]
+
+
+def test_create_table_dict_rejects_empty_html(spark):
+    """Unparseable/empty HTML must reject (the reference raises on
+    max() of an empty list and drops the table) — never accept a
+    zero-cell table as valid."""
+    table = create_table_dict("<table></table>", [])
+    assert "no cells parsed" in table["reject"]
+    assert table["cells"] == []

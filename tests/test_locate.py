@@ -173,3 +173,44 @@ def test_standardize_first_column_blank_joins_above():
     assert key and sorted(key[0]["row_nums"]) == [1, 2]
     assert not any(c["text"] == "" and 0 in c["column_nums"]
                    and 2 in c["row_nums"] for c in t["cells"])
+
+
+def test_aggregate_boundaries_df_matches_kernel_at_zero_coords(spark):
+    """The DF twin must replicate the kernel's falsy-0.0 quirk: a
+    0.0 coordinate stored in a min slot counts as unset, so the next
+    cell (in cell_num order) REPLACES it.  Plant zeros both first
+    (result = later value) and last (result = 0.0) and require
+    row/col boundaries identical to aggregate_cell_bboxes."""
+    cells = [
+        {"row_nums": [0], "column_nums": [0]},
+        {"row_nums": [0], "column_nums": [1]},
+        {"row_nums": [1], "column_nums": [0]},
+        {"row_nums": [1], "column_nums": [1]},
+    ]
+    bboxes = {
+        0: [0.0, 0.0, 50.0, 20.0],   # zeros FIRST in col-0 / row-0
+        1: [60.0, 5.0, 100.0, 20.0],
+        2: [5.0, 30.0, 50.0, 45.0],
+        3: [0.0, 28.0, 100.0, 46.0],  # x0 zero LAST in col-1
+    }
+    _, col_bb, row_bb, _ = aggregate_cell_bboxes(cells, bboxes)
+
+    from table_transformer_spark.operators.locate_df import (
+        aggregate_boundaries_df,
+    )
+    rows = [(1, 0, i, min(c["row_nums"]), max(c["row_nums"]),
+             min(c["column_nums"]), max(c["column_nums"]),
+             *bboxes[i]) for i, c in enumerate(cells)]
+    located = spark.createDataFrame(
+        rows, "doc_id long, table_num int, cell_num int, row_lo int, "
+              "row_hi int, col_lo int, col_hi int, "
+              "x0 double, y0 double, x1 double, y1 double")
+    got = {(r.kind, r.idx): (r.x0, r.y0, r.x1, r.y1)
+           for r in aggregate_boundaries_df(located).collect()}
+    want = {("row", i): tuple(b) for i, b in row_bb.items()}
+    want |= {("col", i): tuple(b) for i, b in col_bb.items()}
+    assert got == want
+    # the quirk actually fired: plain min would give y0=0.0 for row 0
+    assert got[("row", 0)][1] == 5.0
+    assert got[("col", 0)][0] == 5.0
+    assert got[("col", 1)][0] == 0.0  # zero arriving last sticks

@@ -259,3 +259,26 @@ def test_sessionize_state_fn_custom_gap_and_late_events():
         state))
     assert out == []
     assert state.value == (900, 1000, 2)  # ss widened, lt kept
+
+
+def test_sessionize_state_fn_far_late_run_merges():
+    """Consecutive far-late events within a gap of each other must
+    form ONE emitted session (the same gap rule as everywhere else),
+    not one single-event session each; a gap inside the far-late run
+    still splits it."""
+    import pandas as pd
+
+    from table_transformer_spark.pipeline.streaming import (
+        sessionize_state_fn,
+    )
+
+    # carried session starts at 10000; gap 60 → far-late = ts < 9940.
+    # run A: 100, 130, 160 (within 60 of each other) → one session;
+    # run B: 500 (over a gap later) → its own session.
+    state = FakeState(value=(10000, 10000, 1))
+    ts = [pd.Timestamp(t, unit="s") for t in [100, 130, 160, 500]]
+    out = list(sessionize_state_fn(
+        (1,), iter([pd.DataFrame({"ts": ts})]), state, gap_sec=60))
+    assert pd.concat(out).values.tolist() == [[1, 100, 160, 3],
+                                              [1, 500, 500, 1]]
+    assert state.value == (10000, 10000, 1)  # carried session untouched
