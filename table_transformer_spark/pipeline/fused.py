@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -32,7 +33,7 @@ from ..config import (
     DETECTION_CLASS_THRESHOLDS,
     STRUCTURE_CLASS_THRESHOLDS,
 )
-from ..geometry import iob
+from ..geometry import iob, np_iob_matrix
 from ..kernels.structure import objects_to_cells
 from . import schemas
 from .stages import _decode_payload
@@ -66,19 +67,31 @@ def make_fused_page_fn(mode: str = "clean",
                     pdf["doc_id"], pdf["media_ref"], pdf["page_offset"],
                     pdf["payload"]):
                 page = _decode_payload(payload)
+                # page tokens are filtered against every table crop —
+                # build their bbox matrix once and do each crop's
+                # iob filter as a single vector op (the scalar loop was
+                # the kernel's hottest line: |tokens|×|tables| calls)
+                page_tokens = page["tokens"]
+                tok_boxes = (np.asarray([t["bbox"] for t in page_tokens],
+                                        dtype=float)
+                             if page_tokens else np.zeros((0, 4)))
                 for table_num, det in enumerate(page["detections"]):
                     if det["score"] < DETECTION_CLASS_THRESHOLDS[det["label"]]:
                         continue
                     bb = det["bbox"]
                     crop = [bb[0] - padding, bb[1] - padding,
                             bb[2] + padding, bb[3] + padding]
+                    in_crop = np.nonzero(
+                        np_iob_matrix(tok_boxes,
+                                      np.asarray([crop]))[:, 0] >= 0.5)[0] \
+                        if page_tokens else []
                     tokens = [
-                        {**t, "bbox": [t["bbox"][0] - crop[0],
-                                       t["bbox"][1] - crop[1],
-                                       t["bbox"][2] - crop[0],
-                                       t["bbox"][3] - crop[1]]}
-                        for t in page["tokens"]
-                        if iob(t["bbox"], crop) >= 0.5]
+                        {**page_tokens[i],
+                         "bbox": [page_tokens[i]["bbox"][0] - crop[0],
+                                  page_tokens[i]["bbox"][1] - crop[1],
+                                  page_tokens[i]["bbox"][2] - crop[0],
+                                  page_tokens[i]["bbox"][3] - crop[1]]}
+                        for i in in_crop]
                     if det["label"] == "table rotated":
                         # rotate the crop upright (src/inference.py:277-286)
                         h = crop[3] - crop[1]
