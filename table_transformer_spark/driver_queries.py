@@ -1676,6 +1676,73 @@ FROM sel s CROSS JOIN cells c JOIN tprov t ON t.table_num = c.table_num
 """
 
 
+def q_cells_html_export(spark, sf_dir):
+    """``cells_to_html`` (src/inference.py:540-568) over a planted
+    table exercising its quirks: every header row opens its own
+    ``<thead>``, colspan/rowspan attributes from grid coverage, and
+    (min row, min col) ordering via two stable sorts.  The oracle
+    assembles the identical HTML by string concatenation."""
+    from .operators.export import export_tables
+
+    docs = _planted_docs(spark, sf_dir)
+    toks = F.split("text", " ")
+
+    def w(i):
+        return F.element_at(toks, i)
+
+    def cell(rows, cols, text, hdr=False):
+        return F.struct(
+            F.array(*[F.lit(r) for r in rows]).alias("row_nums"),
+            F.array(*[F.lit(c) for c in cols]).alias("column_nums"),
+            F.lit(hdr).alias("is_column_header"),
+            text.alias("cell_text"))
+
+    cells = F.array(
+        cell([0], [0, 1], w(6), True), cell([0], [2], w(7), True),
+        cell([1, 2], [0], w(8)), cell([1], [1], w(9)),
+        cell([1], [2], w(10)),
+        cell([2], [1], w(11)), cell([2], [2], w(12)))
+    inp = (docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       F.lit("planted://html").alias("media_ref"),
+                       F.lit(0).alias("table_num"),
+                       F.explode(cells).alias("cell"))
+           .select("doc_id", "media_ref", "table_num", "cell.*"))
+    return export_tables(inp).select("doc_id", "html")
+
+
+ORACLE_CELLS_HTML_EXPORT = f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       '<table><thead><th colspan="2">' || w[6] || '</th><th>' || w[7]
+       || '</th></thead><tr><td rowspan="2">' || w[8] || '</td><td>'
+       || w[9] || '</td><td>' || w[10] || '</td></tr><tr><td>' || w[11]
+       || '</td><td>' || w[12] || '</td></tr></table>' AS html
+FROM (SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE {_PLANT_FILTER})
+"""
+
+
+def q_binary_metadata(spark, sf_dir):
+    """Multimodal metadata path (operators/multimodal.media_metadata):
+    byte length + SHA-256 digest over an opaque binary column, pure
+    column algebra — here fed with the documents text as the binary
+    payload so DuckDB can verify the digests."""
+    from .operators.multimodal import media_metadata
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc://"),
+                 F.col("doc_id").cast("string")).alias("media_ref"),
+        F.col("text").cast("binary").alias("payload"))
+    return media_metadata(docs)
+
+
+ORACLE_BINARY_METADATA = """
+SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS media_ref,
+       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+       sha256(text) AS digest
+FROM documents
+"""
+
+
 def q_grits_planted_perturbation(spark, sf_dir):
     """GriTS/DAR metric kernel (factored 2D-MSS + adjacency multiset,
     ``src/grits.py:166-214`` / ``src/eval.py:83-243``) over one planted
@@ -1795,6 +1862,8 @@ QUERIES = {
     "salted_join_agg": q_salted_join_agg,
     "canonicalize_tables": q_canonicalize_tables,
     "grits_planted_perturbation": q_grits_planted_perturbation,
+    "cells_html_export": q_cells_html_export,
+    "binary_metadata": q_binary_metadata,
 }
 
 ORACLES = {
@@ -1841,4 +1910,6 @@ ORACLES = {
     "salted_join_agg": ORACLE_SALTED_JOIN_AGG,
     "canonicalize_tables": ORACLE_CANONICALIZE_TABLES,
     "grits_planted_perturbation": ORACLE_GRITS_PLANTED_PERTURBATION,
+    "cells_html_export": ORACLE_CELLS_HTML_EXPORT,
+    "binary_metadata": ORACLE_BINARY_METADATA,
 }

@@ -177,3 +177,24 @@ def test_outputs_to_objects_accepts_torch_tensors():
     assert len(objs) == 1 and objs[0]["label"] == "table"
     assert objs[0]["score"] > 0.8
     assert objs[0]["bbox"] == [400.0, 320.0, 600.0, 480.0]
+
+
+def test_post_process_coco_semantics():
+    """PostProcess (detr/models/detr.py:260-288): max over REAL classes
+    only ('no object' excluded), every query kept, (h, w) scaling."""
+    from table_transformer_spark.pipeline.model_stub import post_process
+
+    # 1 image, 2 queries, 2 real classes + no-object
+    logits = np.array([[[4.0, 0.0, 8.0],     # no-object wins overall,
+                        [1.0, 3.0, 0.0]]])   # but class argmax = 0 / 1
+    boxes = np.array([[[0.5, 0.5, 0.5, 0.5],
+                       [0.25, 0.25, 0.1, 0.1]]])
+    sizes = np.array([[200.0, 100.0]])  # (height, width)
+    [res] = post_process(logits, boxes, sizes)
+    assert list(res["labels"]) == [0, 1]          # no-object never wins
+    assert len(res["scores"]) == 2                # every query kept
+    # softmax over ALL classes, max over the real ones
+    e = np.exp(logits[0, 0] - logits[0, 0].max())
+    assert res["scores"][0] == pytest.approx((e / e.sum())[0])
+    # cxcywh (0.5,0.5,0.5,0.5) → xyxy (0.25,0.25,0.75,0.75) × (w,h,w,h)
+    assert list(res["boxes"][0]) == [25.0, 50.0, 75.0, 150.0]
