@@ -279,7 +279,8 @@ def encode_page_payload(page: dict) -> bytes:
 
 
 def decode_page_payload(payload: bytes) -> dict:
-    return json.loads(zlib.decompress(payload).decode())
+    from ..serde import decode_zlib_json
+    return decode_zlib_json(payload)
 
 
 # ---------------------------------------------------------------------------

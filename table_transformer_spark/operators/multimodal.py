@@ -19,8 +19,6 @@ iteration, Arrow transfer, and output schemas are production shaped.
 from __future__ import annotations
 
 import hashlib
-import json
-import zlib
 from typing import Iterator
 
 import numpy as np
@@ -29,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..serde import decode_zlib_json
 
 __all__ = [
     "media_metadata",
@@ -48,7 +48,7 @@ _FIXTURE_MAGIC = b"\x78"  # zlib header byte of the fixture payloads
 
 
 def _decode_fixture(payload: bytes) -> dict:
-    return json.loads(zlib.decompress(bytes(payload)).decode())
+    return decode_zlib_json(payload)
 
 
 def _decode_image(payload: bytes) -> dict:

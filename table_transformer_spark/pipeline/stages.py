@@ -23,8 +23,6 @@ Topology (SURVEY.md §3.1 "Spark shape"):
 
 from __future__ import annotations
 
-import json
-import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -32,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..serde import decode_zlib_json
 from ..config import (
     DEFAULT_CROP_PADDING,
     DETECTION_CLASS_THRESHOLDS,
@@ -47,7 +46,7 @@ from . import schemas
 # ---------------------------------------------------------------------------
 
 def _decode_payload(payload: bytes) -> dict:
-    return json.loads(zlib.decompress(bytes(payload)).decode())
+    return decode_zlib_json(payload)
 
 
 def page_inference_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
