@@ -19,7 +19,16 @@ from __future__ import annotations
 
 import copy
 
-from ..geometry import Box, box_area, box_intersect, iob
+import numpy as np
+
+from ..geometry import (
+    Box,
+    box_area,
+    box_intersect,
+    iob,
+    np_box_area,
+    np_pairwise_intersection,
+)
 from .slotting import (
     drop_containers_without_text,
     filter_by_score,
@@ -414,6 +423,38 @@ def build_table_structures(table_object, objects_in_table, tokens_in_table,
 # cells (src/postprocess.py:692-843)
 # --------------------------------------------------------------------------
 
+def _hull(boxes):
+    """Hull with fitz ``include_rect`` semantics: empty members are
+    skipped; no members → the empty box (0, 0, 0, 0)."""
+    x0 = y0 = x1 = y1 = None
+    for b in boxes:
+        if b[0] >= b[2] or b[1] >= b[3]:
+            continue
+        if x0 is None:
+            x0, y0, x1, y1 = b[0], b[1], b[2], b[3]
+        else:
+            if b[0] < x0:
+                x0 = b[0]
+            if b[1] < y0:
+                y0 = b[1]
+            if b[2] > x1:
+                x1 = b[2]
+            if b[3] > y1:
+                y1 = b[3]
+    return (0.0, 0.0, 0.0, 0.0) if x0 is None else (x0, y0, x1, y1)
+
+
+def _intersect_fitz(a, b):
+    """``Box(a).intersect(b)`` as tuple math: an empty *b* replaces *a*,
+    an empty *a* is kept, otherwise componentwise max/min."""
+    if b[0] >= b[2] or b[1] >= b[3]:
+        return (b[0], b[1], b[2], b[3])
+    if a[0] >= a[2] or a[1] >= a[3]:
+        return (a[0], a[1], a[2], a[3])
+    return (max(a[0], b[0]), max(a[1], b[1]),
+            min(a[2], b[2]), min(a[3], b[3]))
+
+
 def structures_to_cells(structures, table_spans):
     """Canonical cell grid + confidence from refined structures
     (``src/postprocess.py:692-843``).
@@ -427,50 +468,83 @@ def structures_to_cells(structures, table_spans):
     supercells = structures["supercells"]
     cells, subcells = [], []
 
-    for col_num, col in enumerate(columns):
-        for row_num, row in enumerate(rows):
-            grid_box = Box(row["bbox"]).intersect(Box(col["bbox"]))
-            cell = {
-                "bbox": grid_box.tolist(),
-                "column_nums": [col_num],
-                "row_nums": [row_num],
-                "header": bool(row.get("header")),
-            }
-            grid_area = grid_box.get_area()
-            covered = False
-            for sc in supercells:
-                if grid_area > 0 and (
-                        box_area(box_intersect(sc["bbox"], cell["bbox"]))
-                        / grid_area) > 0.5:
-                    covered = True
-                    break
-            if covered:
-                subcells.append(cell)
-            else:
-                cell["subheader"] = False
-                cells.append(cell)
+    # grid construction, vectorized over the (column × row) lattice.
+    # The reference builds each grid cell as Box(row).intersect(col)
+    # in column-major order; broadcasting reproduces that including the
+    # fitz empty-box rules (empty col replaces, empty row is kept).
+    n_rows, n_cols = len(rows), len(columns)
+    rb = np.asarray([r["bbox"] for r in rows],
+                    dtype=float).reshape(-1, 4)                  # (R, 4)
+    cb = np.asarray([c["bbox"] for c in columns],
+                    dtype=float).reshape(-1, 4)                  # (C, 4)
+    grid = np.empty((n_cols, n_rows, 4))
+    np.maximum(rb[None, :, :2], cb[:, None, :2], out=grid[:, :, :2])
+    np.minimum(rb[None, :, 2:], cb[:, None, 2:], out=grid[:, :, 2:])
+    col_empty = (cb[:, 0] >= cb[:, 2]) | (cb[:, 1] >= cb[:, 3])
+    row_empty = (rb[:, 0] >= rb[:, 2]) | (rb[:, 1] >= rb[:, 3])
+    if col_empty.any() or row_empty.any():
+        grid = np.where(col_empty[:, None, None], cb[:, None, :],
+                        np.where(row_empty[None, :, None],
+                                 rb[None, :, :], grid))
+    flat = grid.reshape(-1, 4)           # index c * n_rows + r (col-major)
+    grid_areas = np_box_area(flat)
 
-    for sc in supercells:
-        merged_rows, merged_cols = set(), set()
-        hull = None
-        header = True
-        for sub in subcells:
-            sub_area = box_area(sub["bbox"])
-            if sub_area > 0 and (
-                    box_area(box_intersect(sub["bbox"], sc["bbox"]))
-                    / sub_area) > 0.5:
-                if hull is None:
-                    hull = Box(sub["bbox"])
-                else:
-                    hull.include_rect(sub["bbox"])
+    # supercell coverage: > 0.5 of a grid cell's area inside any supercell
+    if supercells:
+        sc_boxes = np.asarray([sc["bbox"] for sc in supercells], dtype=float)
+        inter = np_pairwise_intersection(flat, sc_boxes)
+        frac = np.divide(inter, grid_areas[:, None],
+                         out=np.zeros_like(inter),
+                         where=grid_areas[:, None] > 0.0)
+        covered_mask = (frac > 0.5).any(axis=1)
+    else:
+        covered_mask = np.zeros(len(flat), dtype=bool)
+
+    row_headers = [bool(r.get("header")) for r in rows]
+    grid_lists = flat.tolist()
+    for idx, (bbox, covered) in enumerate(zip(grid_lists, covered_mask)):
+        col_num, row_num = divmod(idx, n_rows) if n_rows else (0, 0)
+        cell = {
+            "bbox": bbox,
+            "column_nums": [col_num],
+            "row_nums": [row_num],
+            "header": row_headers[row_num],
+        }
+        if covered:
+            subcells.append(cell)
+        else:
+            cell["subheader"] = False
+            cells.append(cell)
+
+    # supercell merge: adopt every subcell with > 0.5 of its area inside
+    # the supercell; the hull over those (all non-empty by the area
+    # guard) is an order-independent componentwise min/max, so the
+    # reference's sequential include_rect chain vectorizes exactly.
+    if supercells and subcells:
+        sub_boxes = np.asarray([s["bbox"] for s in subcells], dtype=float)
+        sub_areas = np_box_area(sub_boxes)
+        inter = np_pairwise_intersection(sub_boxes, sc_boxes)
+        frac = np.divide(inter, sub_areas[:, None],
+                         out=np.zeros_like(inter),
+                         where=sub_areas[:, None] > 0.0)
+        sel = (sub_areas[:, None] > 0.0) & (frac > 0.5)
+        for j, sc in enumerate(supercells):
+            idxs = np.nonzero(sel[:, j])[0]
+            if idxs.size == 0:
+                continue
+            chosen = sub_boxes[idxs]
+            merged_rows, merged_cols = set(), set()
+            header = True
+            for i in idxs:
+                sub = subcells[i]
                 merged_rows |= set(sub["row_nums"])
                 merged_cols |= set(sub["column_nums"])
                 # a supercell is a header cell only if *all* merged
                 # subcells are header cells (rectangular header region)
                 header = header and sub["header"]
-        if merged_rows and merged_cols:
             cells.append({
-                "bbox": hull.tolist(),
+                "bbox": [float(chosen[:, 0].min()), float(chosen[:, 1].min()),
+                         float(chosen[:, 2].max()), float(chosen[:, 3].max())],
                 "column_nums": sorted(merged_cols),
                 "row_nums": sorted(merged_rows),
                 "header": header,
@@ -487,14 +561,12 @@ def structures_to_cells(structures, table_spans):
         confidence = 0
 
     # dilate every cell bbox to (hull of its columns) ∩ (hull of its rows)
+    # (tuple math instead of Box objects: this and the text-fit loop below
+    # accounted for ~100k Rect constructions per page batch)
     for cell in cells:
-        col_hull = Box()
-        for c in cell["column_nums"]:
-            col_hull.include_rect(columns[c]["bbox"])
-        row_hull = Box()
-        for r in cell["row_nums"]:
-            row_hull.include_rect(rows[r]["bbox"])
-        cell["bbox"] = col_hull.intersect(row_hull).tolist()
+        col_hull = _hull(columns[c]["bbox"] for c in cell["column_nums"])
+        row_hull = _hull(rows[r]["bbox"] for r in cell["row_nums"])
+        cell["bbox"] = list(_intersect_fitz(col_hull, row_hull))
 
     # final token→cell assignment at a near-zero threshold
     spans_by_cell, _, _ = slot_into_containers(
@@ -541,15 +613,11 @@ def structures_to_cells(structures, table_spans):
         if max_y_by_row.get(num_rows - 1):
             col["bbox"][3] = max(max_y_by_row[num_rows - 1])
     for cell in cells:
-        row_hull = Box()
-        col_hull = Box()
-        for r in cell["row_nums"]:
-            row_hull.include_rect(rows[r]["bbox"])
-        for c in cell["column_nums"]:
-            col_hull.include_rect(columns[c]["bbox"])
-        fitted = row_hull.intersect(col_hull)
-        if fitted.get_area() > 0:
-            cell["bbox"] = fitted.tolist()
+        row_hull = _hull(rows[r]["bbox"] for r in cell["row_nums"])
+        col_hull = _hull(columns[c]["bbox"] for c in cell["column_nums"])
+        fitted = _intersect_fitz(row_hull, col_hull)
+        if (fitted[2] - fitted[0]) > 0 and (fitted[3] - fitted[1]) > 0:
+            cell["bbox"] = list(fitted)
 
     return cells, confidence
 
