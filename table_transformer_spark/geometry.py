@@ -191,8 +191,10 @@ def overlaps(b1, b2, threshold: float = 0.5) -> bool:
 
 def np_box_area(boxes: np.ndarray) -> np.ndarray:
     """Areas for an (N, 4) float array, degenerate boxes → 0."""
-    w = np.clip(boxes[:, 2] - boxes[:, 0], 0.0, None)
-    h = np.clip(boxes[:, 3] - boxes[:, 1], 0.0, None)
+    # np.maximum beats np.clip here: clip routes through a Python-level
+    # wrapper per call and these run thousands of times per Arrow batch
+    w = np.maximum(boxes[:, 2] - boxes[:, 0], 0.0)
+    h = np.maximum(boxes[:, 3] - boxes[:, 1], 0.0)
     return w * h
 
 
@@ -204,7 +206,7 @@ def np_pairwise_intersection(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     y0 = np.maximum(a[:, None, 1], b[None, :, 1])
     x1 = np.minimum(a[:, None, 2], b[None, :, 2])
     y1 = np.minimum(a[:, None, 3], b[None, :, 3])
-    return np.clip(x1 - x0, 0.0, None) * np.clip(y1 - y0, 0.0, None)
+    return np.maximum(x1 - x0, 0.0) * np.maximum(y1 - y0, 0.0)
 
 
 def np_iob_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -243,7 +245,7 @@ def np_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         a[:, None, 3],
         np.where(area_a[:, None] == 0.0, b[None, :, 3], np.maximum(a[:, None, 3], b[None, :, 3])),
     )
-    union = np.clip(x1 - x0, 0.0, None) * np.clip(y1 - y0, 0.0, None)
+    union = np.maximum(x1 - x0, 0.0) * np.maximum(y1 - y0, 0.0)
     out = np.zeros_like(inter)
     nz = union > 0.0
     out[nz] = inter[nz] / union[nz]
