@@ -95,22 +95,27 @@ def main() -> None:
     try:
         zpath = build_zip(tmp)
         corpus_dir = materialize_corpus(tmp)
-        # best-of-N per level: co-tenant noise on this shared host only
-        # ever *slows* a run (±10-15% observed between identical runs),
-        # so the fastest repetition is the closest estimate of the
-        # job's true throughput at each level
+        # best-of-N per level, with the two levels' repetitions
+        # INTERLEAVED (L,H,L,H,…) rather than all-low-then-all-high:
+        # co-tenant noise on this shared host only ever *slows* a run,
+        # and its degradation windows last minutes — running one level's
+        # reps back-to-back lets a single window contaminate every
+        # sample of that level while the other level measures clean,
+        # which biases the ratio in either direction.  Interleaving
+        # spreads both levels across the same time windows.
         reps = int(os.environ.get("SCALING_REPS", "2"))
 
-        def best(cores, tag):
-            runs = [submit(cores, zpath,
-                           os.path.join(tmp, f"out{tag}_{i}"), corpus_dir)
-                    for i in range(reps)]
+        runs = {N_LOW: [], N_HIGH: []}
+        for i in range(reps):
+            for cores, tag in ((N_LOW, f"lo{N_LOW}"), (N_HIGH, f"hi{N_HIGH}")):
+                runs[cores].append(
+                    submit(cores, zpath,
+                           os.path.join(tmp, f"out{tag}_{i}"), corpus_dir))
+        for cores in (N_LOW, N_HIGH):
             print(f"[scaling] local[{cores}] walls: "
-                  f"{[r['wall_sec'] for r in runs]}", file=sys.stderr)
-            return min(runs, key=lambda r: r["wall_sec"])
-
-        low = best(N_LOW, f"lo{N_LOW}")
-        high = best(N_HIGH, f"hi{N_HIGH}")
+                  f"{[r['wall_sec'] for r in runs[cores]]}", file=sys.stderr)
+        low = min(runs[N_LOW], key=lambda r: r["wall_sec"])
+        high = min(runs[N_HIGH], key=lambda r: r["wall_sec"])
         # determinism under parallelism: identical content hash, not
         # just identical row counts
         assert low["n_spans"] == high["n_spans"], \
