@@ -51,6 +51,11 @@ def assemble_text(spans, join_with_space: bool = True,
 
     if not kept:
         return ""
+    if len(kept) == 1:
+        # single span: ordering, line grouping, and hyphen logic are
+        # all no-ops — the result is just the stripped text (the final
+        # join below would produce exactly this)
+        return kept[0]["text"].strip()
 
     # (block, line, span) ordering via stable sorts, matching the
     # reference's sort cascade at src/postprocess.py:332-334.

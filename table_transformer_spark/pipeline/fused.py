@@ -33,7 +33,7 @@ from ..config import (
     DETECTION_CLASS_THRESHOLDS,
     STRUCTURE_CLASS_THRESHOLDS,
 )
-from ..geometry import iob, np_iob_matrix
+from ..geometry import np_iob_matrix
 from ..kernels.structure import objects_to_cells
 from . import schemas
 from .stages import _decode_payload
@@ -117,10 +117,24 @@ def make_fused_page_fn(mode: str = "clean",
                         key=lambda o: -o["score"])
                     table_bbox = list(table_objs[0]["bbox"]) if table_objs \
                         else [0.0, 0.0, 1000.0, 1000.0]
-                    in_table = [o for o in objects
-                                if iob(o["bbox"], table_bbox) >= 0.5]
-                    toks = [t for t in tokens
-                            if iob(t["bbox"], table_bbox) >= 0.5]
+                    # one iob-matrix call per table instead of a scalar
+                    # iob() per object/token (the two filters were ~47
+                    # scalar calls per table)
+                    tb = np.asarray([table_bbox])
+                    if objects:
+                        keep = np_iob_matrix(
+                            np.asarray([o["bbox"] for o in objects]),
+                            tb)[:, 0] >= 0.5
+                        in_table = [o for o, k in zip(objects, keep) if k]
+                    else:
+                        in_table = []
+                    if tokens:
+                        keep = np_iob_matrix(
+                            np.asarray([t["bbox"] for t in tokens]),
+                            tb)[:, 0] >= 0.5
+                        toks = [t for t, k in zip(tokens, keep) if k]
+                    else:
+                        toks = []
                     _, cells, confidence = objects_to_cells(
                         {"bbox": table_bbox, "page_num": 0}, in_table,
                         toks, STRUCTURE_CLASS_THRESHOLDS, copy_inputs=False)
