@@ -22,7 +22,14 @@ import tempfile
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DOCS = int(os.environ.get("SCALING_DOCS", "64000"))
+# Big enough that per-job fixed costs (~25s: scan setup, spans write,
+# status job, AQE planning) amortize against the kernel work at the LOW
+# level: with the round-3 kernel (~2.4ms/page), 96k docs ≈ 8min at
+# local[2]/task.cpus=2 vs ~25s fixed — a structural ceiling ≈0.87.
+# Smaller corpora understate the job's true scalability (at 48k the
+# ceiling is ~0.78-0.82), exactly like benchmarking a 100TB pipeline
+# on 100GB.
+DOCS = int(os.environ.get("SCALING_DOCS", "96000"))
 # N=4 vs 4N=16 by default: with local[8] vs local[32] on a 32-core
 # host, the 4N run saturates the machine and competes with JVM/OS
 # threads — a proxy artifact a real N- vs 4N-executor cluster does
