@@ -94,25 +94,9 @@ def main() -> None:
     print(f"[bench] warmup: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    # best wall per query across REPS full passes (not back-to-back
-    # retries): the host's degradation windows last minutes, so a
-    # query's repetitions are spread a full pass (~minutes) apart to
-    # maximize the chance one lands in a healthy window
-    timings: dict[str, float] = {}
-    for pass_no in range(REPS):
-        for name in BENCH_QUERIES:
-            fn = QUERIES[name]
-            t0 = time.perf_counter()
-            _run(fn(spark, SF_DIR))
-            wall = time.perf_counter() - t0
-            prev = timings.get(name, float("inf"))
-            timings[name] = round(min(prev, wall), 3)
-            print(f"[bench] {name}: {wall:.3f}s (pass {pass_no + 1}, "
-                  f"best {timings[name]}s)", file=sys.stderr)
-
-    # flagship extraction throughput (docs/sec): corpus is materialized
-    # to parquet first (untimed) so the measured job READS its input,
-    # as the production job would read Iceberg
+    # flagship extraction corpus is materialized to parquet first
+    # (untimed) so the measured job READS its input, as the production
+    # job would read Iceberg
     import shutil
     import tempfile
 
@@ -122,14 +106,35 @@ def main() -> None:
     )
 
     corpus_dir = tempfile.mkdtemp(prefix="ttspark_bench_corpus_")
+    write_corpus(spark, EXTRACT_DOCS, corpus_dir)
+    docs, media = read_corpus(spark, corpus_dir)
+
+    # best wall per query across REPS full passes (not back-to-back
+    # retries): the host's degradation windows last minutes, so a
+    # query's repetitions are spread a full pass (~minutes) apart to
+    # maximize the chance one lands in a healthy window.  The
+    # extraction measure runs once per pass INSIDE the loop for the
+    # same reason — its reps are spread exactly like every other
+    # query's, so one bad window cannot contaminate all its samples.
+    timings: dict[str, float] = {}
+    extract_sec = float("inf")
     try:
-        write_corpus(spark, EXTRACT_DOCS, corpus_dir)
-        docs, media = read_corpus(spark, corpus_dir)
-        extract_sec = float("inf")
-        for _ in range(REPS):
+        for pass_no in range(REPS):
+            for name in BENCH_QUERIES:
+                fn = QUERIES[name]
+                t0 = time.perf_counter()
+                _run(fn(spark, SF_DIR))
+                wall = time.perf_counter() - t0
+                prev = timings.get(name, float("inf"))
+                timings[name] = round(min(prev, wall), 3)
+                print(f"[bench] {name}: {wall:.3f}s (pass {pass_no + 1}, "
+                      f"best {timings[name]}s)", file=sys.stderr)
             t0 = time.perf_counter()
             _run(extract(docs, media, mode="clean"))
             extract_sec = min(extract_sec, time.perf_counter() - t0)
+            print(f"[bench] extract_spans_clean: "
+                  f"{time.perf_counter() - t0:.3f}s (pass {pass_no + 1}, "
+                  f"best {extract_sec:.3f}s)", file=sys.stderr)
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
     timings["extract_spans_clean"] = round(extract_sec, 3)

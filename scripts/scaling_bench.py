@@ -36,7 +36,12 @@ DOCS = int(os.environ.get("SCALING_DOCS", "96000"))
 # not have.  Both levels must leave headroom for the comparison to
 # measure the JOB's scalability rather than the host's ceiling.
 N_LOW = int(os.environ.get("SCALING_N", "4"))
-N_HIGH = 4 * N_LOW
+N_HIGH = int(os.environ.get("SCALING_N_HIGH", str(4 * N_LOW)))
+# the runs dict is keyed by core count — identical levels would
+# silently collapse to one shared sample list and report a vacuous
+# efficiency of 1.0, so fail loudly instead
+assert N_LOW != N_HIGH, (
+    f"SCALING_N / SCALING_N_HIGH must differ (both {N_LOW})")
 
 
 def build_zip(tmp: str) -> str:

@@ -274,8 +274,15 @@ def synth_page(media_ref: str) -> dict:
 
 def encode_page_payload(page: dict) -> bytes:
     """Binary page payload (zlib-compressed JSON) — the opaque media blob
-    the pipeline's decode UDF consumes."""
-    return zlib.compress(json.dumps(page, sort_keys=True).encode())
+    the pipeline's decode UDF consumes.
+
+    ``allow_nan=False`` keeps encode strictness symmetric with the
+    preferred orjson decode path (``serde.json_loads``): orjson rejects
+    the NaN/Infinity literals stdlib would otherwise emit, so a
+    non-finite float in a payload must fail fast here at encode time,
+    not later and only-when-orjson-is-installed at decode time."""
+    return zlib.compress(
+        json.dumps(page, sort_keys=True, allow_nan=False).encode())
 
 
 def decode_page_payload(payload: bytes) -> dict:

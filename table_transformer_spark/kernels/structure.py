@@ -503,7 +503,7 @@ def structures_to_cells(structures, table_spans):
     row_headers = [bool(r.get("header")) for r in rows]
     grid_lists = flat.tolist()
     for idx, (bbox, covered) in enumerate(zip(grid_lists, covered_mask)):
-        col_num, row_num = divmod(idx, n_rows) if n_rows else (0, 0)
+        col_num, row_num = divmod(idx, n_rows)  # col-major flat index
         cell = {
             "bbox": bbox,
             "column_nums": [col_num],
