@@ -139,16 +139,37 @@ def lsh_bucket_key(vec: Column, dims=DEFAULT_SIGN_DIMS) -> Column:
 
 
 def _banded(df: DataFrame, id_col: str, vec_col: str, bands) -> DataFrame:
-    """(vec_id, vec, band_index bi, band_key bkey) — one row per band."""
+    """(vec_id, bi, bkey) — one SLIM row per band.  Deliberately drops
+    the vector: the banded relation is the widest in any LSH plan
+    (n_bands × N rows) and feeds the candidate shuffle, so carrying the
+    embedding here would serialize every vector n_bands× through the
+    heaviest exchange.  Consumers join vectors back ONCE, after the
+    candidate set is deduped (see :func:`_join_vecs_back`)."""
     structs = [F.struct(F.lit(i).alias("bi"),
                         lsh_bucket_key(F.col(vec_col), dims).alias("bkey"))
                for i, dims in enumerate(bands)]
     return (df.select(F.col(id_col).alias("vec_id"),
-                      F.col(vec_col).alias("vec"),
                       F.explode(F.array(*structs)).alias("band"))
-            .select("vec_id", "vec",
+            .select("vec_id",
                     F.col("band.bi").alias("bi"),
                     F.col("band.bkey").alias("bkey")))
+
+
+def _join_vecs_back(cand: DataFrame, df: DataFrame, id_col: str,
+                    vec_col: str, left: str, right: str) -> DataFrame:
+    """Attach both vectors to a deduped candidate-pair relation with
+    two equi-joins against the (id, vec) side.  Each vector crosses the
+    wire once per pair it participates in — versus n_bands× for every
+    row when the band relation carries the payload — and the join input
+    is the candidate set, already orders of magnitude smaller than the
+    banded relation."""
+    va = df.select(F.col(id_col).alias("_vida"),
+                   F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("_vidb"),
+                   F.col(vec_col).alias("vb"))
+    return (cand
+            .join(va, F.col(left) == F.col("_vida")).drop("_vida")
+            .join(vb, F.col(right) == F.col("_vidb")).drop("_vidb"))
 
 
 def lsh_bucket_stats(df: DataFrame, id_col: str, vec_col: str,
@@ -171,15 +192,16 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
     compounds the recall)."""
     banded = _banded(df, id_col, vec_col, bands)
     a, b = banded.alias("a"), banded.alias("b")
+    # a pair may collide in several bands — dedupe ids-only candidates
+    # BEFORE vectors enter any shuffle
     cand = (a.join(b, (F.col("a.bi") == F.col("b.bi"))
                    & (F.col("a.bkey") == F.col("b.bkey"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
-            # a pair may collide in several bands — dedupe candidates
-            .groupBy(F.col("a.vec_id").alias("doc1"),
-                     F.col("b.vec_id").alias("doc2"))
-            .agg(F.first(F.col("a.vec")).alias("va"),
-                 F.first(F.col("b.vec")).alias("vb")))
-    return (cand.withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+            .select(F.col("a.vec_id").alias("doc1"),
+                    F.col("b.vec_id").alias("doc2"))
+            .distinct())
+    pairs = _join_vecs_back(cand, df, id_col, vec_col, "doc1", "doc2")
+    return (pairs.withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
             .filter(F.col("cos") >= threshold)
             .select("doc1", "doc2", F.round("cos", 6).alias("cos")))
 
@@ -195,11 +217,12 @@ def lsh_bucketed_topk(df: DataFrame, id_col: str, vec_col: str,
     cand = (a.join(b, (F.col("a.bi") == F.col("b.bi"))
                    & (F.col("a.bkey") == F.col("b.bkey"))
                    & (F.col("a.vec_id") != F.col("b.vec_id")))
-            .groupBy(F.col("a.vec_id").alias("vec_id"),
-                     F.col("b.vec_id").alias("neighbor_id"))
-            .agg(F.first(F.col("a.vec")).alias("va"),
-                 F.first(F.col("b.vec")).alias("vb")))
-    pairs = cand.withColumn("cos", cosine_expr(F.col("va"), F.col("vb")))
+            .select(F.col("a.vec_id").alias("vec_id"),
+                    F.col("b.vec_id").alias("neighbor_id"))
+            .distinct())
+    pairs = (_join_vecs_back(cand, df, id_col, vec_col,
+                             "vec_id", "neighbor_id")
+             .withColumn("cos", cosine_expr(F.col("va"), F.col("vb"))))
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(),
                                              F.col("neighbor_id").asc())
     return (pairs.withColumn("rank", F.row_number().over(w))
