@@ -12,6 +12,11 @@ Env knobs:
   BENCH_EXTRACT_DOCS   corpus size for the extraction throughput measure
                        (default 400)
   BENCH_REPS           repetitions per query, best wall kept (default 2)
+  SCALING_PROBE_GATE   1 -> bracket the extraction reps with single-core
+                       probes (scripts/probe_gate.py) and reject samples
+                       taken in host-degradation windows — the recorded
+                       measurement protocol; telemetry lands in the
+                       output JSON under "probe_gate"
 
 Each query runs BENCH_REPS times and the best wall is recorded — the
 same protocol the scaling bench has used since round 1: co-tenant
@@ -31,6 +36,10 @@ import time
 
 # importable regardless of the caller's cwd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+
+from probe_gate import ProbeGate  # noqa: E402 (needs the path insert)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -116,6 +125,16 @@ def main() -> None:
     # extraction measure runs once per pass INSIDE the loop for the
     # same reason — its reps are spread exactly like every other
     # query's, so one bad window cannot contaminate all its samples.
+    # SCALING_PROBE_GATE=1 brackets the headline extraction reps with
+    # single-core probes (scripts/probe_gate.py) — the recorded
+    # measurement protocol; no-op when unset
+    gate = ProbeGate()
+
+    def _timed_extract(_attempt: int) -> float:
+        t0 = time.perf_counter()
+        _run(extract(docs, media, mode="clean"))
+        return time.perf_counter() - t0
+
     timings: dict[str, float] = {}
     extract_sec = float("inf")
     try:
@@ -129,12 +148,11 @@ def main() -> None:
                 timings[name] = round(min(prev, wall), 3)
                 print(f"[bench] {name}: {wall:.3f}s (pass {pass_no + 1}, "
                       f"best {timings[name]}s)", file=sys.stderr)
-            t0 = time.perf_counter()
-            _run(extract(docs, media, mode="clean"))
-            extract_sec = min(extract_sec, time.perf_counter() - t0)
-            print(f"[bench] extract_spans_clean: "
-                  f"{time.perf_counter() - t0:.3f}s (pass {pass_no + 1}, "
-                  f"best {extract_sec:.3f}s)", file=sys.stderr)
+            wall, _ok = gate.run(_timed_extract, label="extract")
+            extract_sec = min(extract_sec, wall)
+            print(f"[bench] extract_spans_clean: {wall:.3f}s "
+                  f"(pass {pass_no + 1}, best {extract_sec:.3f}s)",
+                  file=sys.stderr)
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
     timings["extract_spans_clean"] = round(extract_sec, 3)
@@ -152,6 +170,8 @@ def main() -> None:
         "cpus": CPUS,
         "extract_docs": EXTRACT_DOCS,
     }
+    if gate.enabled:
+        result["probe_gate"] = gate.telemetry()
     print(json.dumps(result))
     spark.stop()
 

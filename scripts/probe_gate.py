@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Single-core CPU probe gate — the measurement-governance harness
+behind the recorded 0.877 scaling-efficiency / 1577 docs/s sustained
+numbers (BASELINE.md), committed so that protocol is reproducible from
+the repo rather than described in prose (round-3 verdict, "What's
+missing #3").
+
+This host is a shared VM with minutes-long co-tenant degradation
+windows (documented in BASELINE.md: thread dumps show executor threads
+crawling through native calls; identical queries spread up to 10×
+across repetitions).  A sample taken inside such a window measures the
+neighbors, not the code.  The gate brackets every measured sample with
+a **single-core probe** — a tight 10⁷-iteration Python add loop, ~0.4s
+on this machine when healthy — and accepts the sample only when BOTH
+bracketing probes beat ``PROBE_THRESHOLD_SEC`` (default 0.75).
+Consecutive samples share the boundary probe (probe *before / between /
+after* the runs), exactly the recorded campaign's shape; a rejected
+sample is retried up to ``max_retries`` times, its trailing probe
+serving as the next attempt's leading probe.
+
+Enable with ``SCALING_PROBE_GATE=1`` (read by ``bench.py`` and
+``scripts/scaling_bench.py``); the gate is a transparent no-op
+otherwise, so un-gated runs behave exactly as before.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+PROBE_ADDS = 10_000_000
+DEFAULT_THRESHOLD = float(os.environ.get("PROBE_THRESHOLD_SEC", "0.75"))
+
+
+def gate_enabled() -> bool:
+    return os.environ.get("SCALING_PROBE_GATE", "0") == "1"
+
+
+def probe_sec() -> float:
+    """Wall seconds for 10⁷ single-core Python integer adds."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(PROBE_ADDS):
+        s += i
+    elapsed = time.perf_counter() - t0
+    assert s == PROBE_ADDS * (PROBE_ADDS - 1) // 2
+    return elapsed
+
+
+class ProbeGate:
+    """Bracketing probe gate around measured samples.
+
+    ``run(fn, label)`` calls ``fn(attempt)`` with a leading and a
+    trailing probe; the sample is accepted iff both probes beat the
+    threshold.  ``fn`` receives the 0-based attempt number so callers
+    can derive per-attempt scratch paths.  Returns ``(result,
+    accepted)`` — after ``max_retries`` rejections the last result is
+    returned with ``accepted=False`` so the caller can record the
+    degradation honestly instead of hanging forever.
+    """
+
+    def __init__(self, threshold: float | None = None,
+                 max_retries: int = 4, enabled: bool | None = None,
+                 retry_sleep: float = 15.0):
+        self.threshold = DEFAULT_THRESHOLD if threshold is None else threshold
+        self.max_retries = max_retries
+        self.enabled = gate_enabled() if enabled is None else enabled
+        self.retry_sleep = retry_sleep
+        self.rejected = 0          # samples thrown away
+        self.waited = 0            # attempts spent waiting, no sample taken
+        self.probes: list[float] = []  # every probe wall, in order
+        self._carry: float | None = None  # trailing probe of last sample
+
+    def _probe(self) -> float:
+        p = probe_sec()
+        self.probes.append(round(p, 3))
+        return p
+
+    def run(self, fn, label: str = ""):
+        if not self.enabled:
+            return fn(0), True
+        result, have_result = None, False
+        for attempt in range(self.max_retries + 1):
+            pre = self._carry if self._carry is not None else self._probe()
+            self._carry = None
+            if pre > self.threshold and attempt < self.max_retries:
+                # the window is degraded RIGHT NOW — wait it out instead
+                # of burning a minutes-long sample that must be rejected
+                self.waited += 1
+                print(f"[probe-gate] {label}: host degraded "
+                      f"(probe {pre:.2f}s > {self.threshold}s) — waiting "
+                      f"{self.retry_sleep:.0f}s before sampling",
+                      file=sys.stderr)
+                time.sleep(self.retry_sleep)
+                continue
+            result, have_result = fn(attempt), True
+            post = self._probe()
+            self._carry = post
+            if pre <= self.threshold and post <= self.threshold:
+                return result, True
+            self.rejected += 1
+            print(f"[probe-gate] {label}: sample rejected "
+                  f"(probes {pre:.2f}s/{post:.2f}s vs "
+                  f"{self.threshold}s, attempt {attempt + 1})",
+                  file=sys.stderr)
+        if not have_result:  # every attempt waited — sample once, ungated
+            result = fn(self.max_retries)
+        print(f"[probe-gate] {label}: retries exhausted — recording the "
+              "last sample as UNGATED (host degraded throughout)",
+              file=sys.stderr)
+        return result, False
+
+    def telemetry(self) -> dict:
+        return {"enabled": self.enabled, "threshold_sec": self.threshold,
+                "rejected_samples": self.rejected,
+                "waited_attempts": self.waited,
+                "probe_walls": self.probes}
+
+
+if __name__ == "__main__":
+    # standalone host-health check: print one probe wall and exit 0/1
+    p = probe_sec()
+    print(f"probe: {p:.3f}s (threshold {DEFAULT_THRESHOLD}s)")
+    sys.exit(0 if p <= DEFAULT_THRESHOLD else 1)

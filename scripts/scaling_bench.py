@@ -9,6 +9,12 @@ throughput at each plus scaling efficiency
     eff = (throughput_4N / throughput_N) / 4.
 
 Writes BENCH_SCALING.json at the repo root and prints it.
+
+``SCALING_PROBE_GATE=1`` reruns the recorded measurement protocol
+(BASELINE.md): every spark-submit sample is bracketed by single-core
+probes (scripts/probe_gate.py) and samples landing in co-tenant
+degradation windows are discarded and retried; probe telemetry is
+recorded under ``probe_gate`` in the output JSON.
 """
 
 from __future__ import annotations
@@ -20,6 +26,9 @@ import subprocess
 import sys
 import tempfile
 import zipfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from probe_gate import ProbeGate  # noqa: E402 (needs the path insert)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Big enough that per-job fixed costs (~25s: scan setup, spans write,
@@ -117,12 +126,22 @@ def main() -> None:
         # spreads both levels across the same time windows.
         reps = int(os.environ.get("SCALING_REPS", "2"))
 
+        # SCALING_PROBE_GATE=1 reruns the recorded measurement protocol
+        # (BASELINE.md): every submit is bracketed by single-core
+        # probes; a sample whose window shows host degradation is
+        # discarded and retried.  No-op when the flag is unset.
+        gate = ProbeGate()
+        ungated = 0
         runs = {N_LOW: [], N_HIGH: []}
         for i in range(reps):
             for cores, tag in ((N_LOW, f"lo{N_LOW}"), (N_HIGH, f"hi{N_HIGH}")):
-                runs[cores].append(
-                    submit(cores, zpath,
-                           os.path.join(tmp, f"out{tag}_{i}"), corpus_dir))
+                res, ok = gate.run(
+                    lambda att, c=cores, t=tag, j=i: submit(
+                        c, zpath,
+                        os.path.join(tmp, f"out{t}_{j}_a{att}"), corpus_dir),
+                    label=f"local[{cores}] rep {i}")
+                runs[cores].append(res)
+                ungated += 0 if ok else 1
         for cores in (N_LOW, N_HIGH):
             print(f"[scaling] local[{cores}] walls: "
                   f"{[r['wall_sec'] for r in runs[cores]]}", file=sys.stderr)
@@ -145,6 +164,7 @@ def main() -> None:
             "speedup": round(high["docs_per_sec"] / low["docs_per_sec"], 3),
             "efficiency": round(eff, 3),
             "n_spans": low["n_spans"],
+            "probe_gate": {**gate.telemetry(), "ungated_samples": ungated},
         }
         with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
             f.write(json.dumps(result) + "\n")
