@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Single-core CPU probe gate — the measurement-governance harness
+"""CPU probe gate — the measurement-governance harness
 behind the recorded 0.877 scaling-efficiency / 1577 docs/s sustained
 numbers (BASELINE.md), committed so that protocol is reproducible from
 the repo rather than described in prose (round-3 verdict, "What's
@@ -10,9 +10,12 @@ windows (documented in BASELINE.md: thread dumps show executor threads
 crawling through native calls; identical queries spread up to 10×
 across repetitions).  A sample taken inside such a window measures the
 neighbors, not the code.  The gate brackets every measured sample with
-a **single-core probe** — a tight 10⁷-iteration Python add loop, ~0.4s
-on this machine when healthy — and accepts the sample only when BOTH
-bracketing probes beat ``PROBE_THRESHOLD_SEC`` (default 0.75).
+two probes — a **single-core** 10⁷-iteration Python add loop (~0.4s
+healthy; ``PROBE_THRESHOLD_SEC``, default 0.75) and an **all-cores**
+variant (one such burn per core, in parallel;
+``PROBE_MULTI_THRESHOLD_SEC``, default 1.1) that catches the co-tenant
+multi-core contention the single-core probe provably misses — and
+accepts the sample only when BOTH bracketing probe pairs pass.
 Consecutive samples share the boundary probe (probe *before / between /
 after* the runs), exactly the recorded campaign's shape; a rejected
 sample is retried up to ``max_retries`` times, its trailing probe
@@ -31,21 +34,48 @@ import time
 
 PROBE_ADDS = 10_000_000
 DEFAULT_THRESHOLD = float(os.environ.get("PROBE_THRESHOLD_SEC", "0.75"))
+# Multi-core probe: the single-core probe misses CO-TENANT MULTI-CORE
+# contention entirely — measured on 2026-08-17: probe 0.43s (healthy)
+# while load-avg sat at 10.9 from neighbors and 32-thread Spark jobs
+# ran ~1.5× slow.  An all-cores probe (one 10⁷-add burn per core, in
+# parallel) reads ~0.7-0.9s when the machine is actually free and
+# 1.3-2.4s under that contention, so both probes must pass.
+DEFAULT_MULTI_THRESHOLD = float(
+    os.environ.get("PROBE_MULTI_THRESHOLD_SEC", "1.1"))
+MULTI_PROCS = min(32, os.cpu_count() or 8)
 
 
 def gate_enabled() -> bool:
     return os.environ.get("SCALING_PROBE_GATE", "0") == "1"
 
 
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i
+    return s
+
+
 def probe_sec() -> float:
     """Wall seconds for 10⁷ single-core Python integer adds."""
     t0 = time.perf_counter()
-    s = 0
-    for i in range(PROBE_ADDS):
-        s += i
+    s = _burn(PROBE_ADDS)
     elapsed = time.perf_counter() - t0
     assert s == PROBE_ADDS * (PROBE_ADDS - 1) // 2
     return elapsed
+
+
+def probe_multi_sec(procs: int = MULTI_PROCS) -> float:
+    """Wall seconds for *procs* concurrent 10⁷-add burns (one process
+    per core): ≈ the single-core wall plus fork overhead when the
+    machine is free, stretched by whatever fraction of the cores the
+    co-tenants currently hold."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    with mp.Pool(procs) as pool:
+        pool.map(_burn, [PROBE_ADDS] * procs)
+    return time.perf_counter() - t0
 
 
 class ProbeGate:
@@ -62,20 +92,30 @@ class ProbeGate:
 
     def __init__(self, threshold: float | None = None,
                  max_retries: int = 4, enabled: bool | None = None,
-                 retry_sleep: float = 15.0):
+                 retry_sleep: float = 15.0,
+                 multi_threshold: float | None = None):
         self.threshold = DEFAULT_THRESHOLD if threshold is None else threshold
+        self.multi_threshold = (DEFAULT_MULTI_THRESHOLD
+                                if multi_threshold is None
+                                else multi_threshold)
         self.max_retries = max_retries
         self.enabled = gate_enabled() if enabled is None else enabled
         self.retry_sleep = retry_sleep
         self.rejected = 0          # samples thrown away
         self.waited = 0            # attempts spent waiting, no sample taken
-        self.probes: list[float] = []  # every probe wall, in order
-        self._carry: float | None = None  # trailing probe of last sample
+        self.probes: list[list[float]] = []  # [single, multi] walls in order
+        self._carry: float | None = None  # trailing probe verdict-wall
 
     def _probe(self) -> float:
-        p = probe_sec()
-        self.probes.append(round(p, 3))
-        return p
+        """One bracketing probe: single-core AND all-cores walls.
+        Returns the worse of the two, each normalized to its own
+        threshold and scaled back to the single-core scale, so the
+        existing accept logic (`<= self.threshold`) sees a breach of
+        EITHER threshold."""
+        single = probe_sec()
+        multi = probe_multi_sec()
+        self.probes.append([round(single, 3), round(multi, 3)])
+        return max(single, multi * self.threshold / self.multi_threshold)
 
     def run(self, fn, label: str = ""):
         if not self.enabled:
@@ -113,13 +153,17 @@ class ProbeGate:
 
     def telemetry(self) -> dict:
         return {"enabled": self.enabled, "threshold_sec": self.threshold,
+                "multi_threshold_sec": self.multi_threshold,
                 "rejected_samples": self.rejected,
                 "waited_attempts": self.waited,
                 "probe_walls": self.probes}
 
 
 if __name__ == "__main__":
-    # standalone host-health check: print one probe wall and exit 0/1
-    p = probe_sec()
-    print(f"probe: {p:.3f}s (threshold {DEFAULT_THRESHOLD}s)")
-    sys.exit(0 if p <= DEFAULT_THRESHOLD else 1)
+    # standalone host-health check: print both probe walls and exit 0/1
+    p, m = probe_sec(), probe_multi_sec()
+    print(f"probe: single {p:.3f}s (threshold {DEFAULT_THRESHOLD}s), "
+          f"multi[{MULTI_PROCS}] {m:.3f}s "
+          f"(threshold {DEFAULT_MULTI_THRESHOLD}s)")
+    sys.exit(0 if p <= DEFAULT_THRESHOLD
+             and m <= DEFAULT_MULTI_THRESHOLD else 1)

@@ -13,10 +13,23 @@ sys.path.insert(0, os.path.join(
 import probe_gate as pg  # noqa: E402
 
 
+def _patch_probes(monkeypatch, singles, multis=None):
+    """Route both probe families through supplied wall sequences; the
+    multi probe defaults to always-healthy so single-probe scenarios
+    stay unchanged."""
+    it = iter(singles)
+    monkeypatch.setattr(pg, "probe_sec", lambda: next(it))
+    mit = iter(multis) if multis is not None else None
+    monkeypatch.setattr(pg, "probe_multi_sec",
+                        (lambda procs=None: next(mit)) if mit
+                        else (lambda procs=None: 0.5))
+
+
 def _gate(**kw):
     kw.setdefault("threshold", 0.75)
     kw.setdefault("enabled", True)
     kw.setdefault("retry_sleep", 0.0)
+    kw.setdefault("multi_threshold", 1.1)
     return pg.ProbeGate(**kw)
 
 
@@ -30,20 +43,18 @@ def test_disabled_gate_is_transparent(monkeypatch):
 
 
 def test_healthy_window_accepts_first_sample(monkeypatch):
-    walls = iter([0.4, 0.45])
-    monkeypatch.setattr(pg, "probe_sec", lambda: next(walls))
+    _patch_probes(monkeypatch, [0.4, 0.45])
     g = _gate()
     result, ok = g.run(lambda att: ("sample", att), label="x")
     assert (result, ok) == (("sample", 0), True)
     assert g.rejected == 0 and g.waited == 0
-    assert g.probes == [0.4, 0.45]
+    assert g.probes == [[0.4, 0.5], [0.45, 0.5]]
 
 
 def test_degraded_trailing_probe_rejects_and_retries(monkeypatch):
     # pre ok, post slow -> reject; slow carry -> wait; fresh pre ok,
     # post ok -> accept the SECOND sample
-    walls = iter([0.4, 2.0, 0.4, 0.45])
-    monkeypatch.setattr(pg, "probe_sec", lambda: next(walls))
+    _patch_probes(monkeypatch, [0.4, 2.0, 0.4, 0.45])
     calls = []
     g = _gate()
     result, ok = g.run(lambda att: calls.append(att) or att, label="x")
@@ -54,8 +65,7 @@ def test_degraded_trailing_probe_rejects_and_retries(monkeypatch):
 
 def test_slow_leading_probe_waits_without_sampling(monkeypatch):
     # degraded, degraded, healthy: two waits, zero wasted samples
-    walls = iter([2.0, 2.0, 0.4, 0.4])
-    monkeypatch.setattr(pg, "probe_sec", lambda: next(walls))
+    _patch_probes(monkeypatch, [2.0, 2.0, 0.4, 0.4])
     calls = []
     g = _gate()
     result, ok = g.run(lambda att: calls.append(att) or "r", label="x")
@@ -64,7 +74,7 @@ def test_slow_leading_probe_waits_without_sampling(monkeypatch):
 
 
 def test_exhausted_retries_return_ungated_sample(monkeypatch):
-    monkeypatch.setattr(pg, "probe_sec", lambda: 9.9)
+    _patch_probes(monkeypatch, [9.9] * 20)
     calls = []
     g = _gate(max_retries=2)
     result, ok = g.run(lambda att: calls.append(att) or "last", label="x")
@@ -75,21 +85,34 @@ def test_exhausted_retries_return_ungated_sample(monkeypatch):
 def test_consecutive_samples_share_boundary_probe(monkeypatch):
     # probe before / BETWEEN / after: sample 2's leading probe is
     # sample 1's trailing one, so 2 gated samples cost 3 probes
-    walls = iter([0.4, 0.45, 0.5])
-    monkeypatch.setattr(pg, "probe_sec", lambda: next(walls))
+    _patch_probes(monkeypatch, [0.4, 0.45, 0.5])
     g = _gate()
     _, ok1 = g.run(lambda att: 1, label="a")
     _, ok2 = g.run(lambda att: 2, label="b")
     assert ok1 and ok2
-    assert g.probes == [0.4, 0.45, 0.5]
+    assert g.probes == [[0.4, 0.5], [0.45, 0.5], [0.5, 0.5]]
 
 
 def test_real_probe_returns_positive_wall():
     assert pg.probe_sec() > 0.0
 
 
+def test_multi_core_contention_rejects_sample(monkeypatch):
+    # single-core probe healthy BOTH times, but the all-cores probe
+    # reads contended on the trailing bracket -> sample rejected, then
+    # the next attempt's brackets are clean -> accepted (the 2026-08-17
+    # scenario: probe 0.43s while load-avg 10.9 slowed Spark 1.5x)
+    _patch_probes(monkeypatch, [0.4, 0.4, 0.4, 0.4],
+                  multis=[0.8, 2.4, 0.8, 0.9])
+    calls = []
+    g = _gate()
+    result, ok = g.run(lambda att: calls.append(att) or att, label="x")
+    assert ok and len(calls) == 2 and result == calls[-1]
+    assert g.rejected == 1
+
+
 def test_telemetry_shape():
     g = _gate()
     t = g.telemetry()
-    assert set(t) == {"enabled", "threshold_sec", "rejected_samples",
-                      "waited_attempts", "probe_walls"}
+    assert set(t) == {"enabled", "threshold_sec", "multi_threshold_sec",
+                      "rejected_samples", "waited_attempts", "probe_walls"}
