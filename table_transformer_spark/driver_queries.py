@@ -1513,6 +1513,55 @@ FROM ranked WHERE rank <= 1
 """
 
 
+def q_ivf_topk_nprobe2(spark, sf_dir):
+    """IVF top-k with the recall knob open one notch: each query probes
+    its 2 nearest-centroid cells (home + one) instead of home only.
+    Neighbors indexed in a different home cell become reachable; cost
+    grows linearly in nprobe (query rows replicated into the cell
+    shuffle), never quadratically."""
+    from .operators.similarity import ivf_topk
+    return ivf_topk(load(spark, sf_dir, "embeddings"),
+                    "vec_id", "embedding", k=1, n_cells=16, nprobe=2)
+
+
+ORACLE_IVF_TOPK_NPROBE2 = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {_IVF_COS.format(a='e', b='c.cvec')} AS ccos
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked_cells AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, cid ASC) AS rn
+  FROM scored
+),
+homes AS (
+  SELECT vec_id, embedding, cid AS cell FROM ranked_cells WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id, embedding, cid AS cell FROM ranked_cells WHERE rn <= 2
+),
+pairs AS (
+  SELECT q.vec_id AS vec_id, h.vec_id AS neighbor_id,
+         {_IVF_COS.format(a='q', b='h.embedding')} AS cos
+  FROM probes q JOIN homes h
+    ON q.cell = h.cell AND q.vec_id <> h.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, round(cos, 6) AS cos
+FROM ranked WHERE rank <= 1
+"""
+
+
 def q_ivf_cell_stats(spark, sf_dir):
     """IVF cell-size telemetry (the skew guard run before ivf_topk:
     a hot cell re-quadratics the per-cell matmul)."""
@@ -1944,6 +1993,7 @@ QUERIES = {
     "sessionize_stream_stateful": q_sessionize_stream_stateful,
     "repetition_filters": q_repetition_filters,
     "ivf_topk": q_ivf_topk,
+    "ivf_topk_nprobe2": q_ivf_topk_nprobe2,
     "ivf_cell_stats": q_ivf_cell_stats,
     "salted_join_agg": q_salted_join_agg,
     "canonicalize_tables": q_canonicalize_tables,
@@ -1992,6 +2042,7 @@ ORACLES = {
     "sessionize_stream_stateful": ORACLE_SESSIONIZE_STREAM_STATEFUL,
     "repetition_filters": ORACLE_REPETITION_FILTERS,
     "ivf_topk": ORACLE_IVF_TOPK,
+    "ivf_topk_nprobe2": ORACLE_IVF_TOPK_NPROBE2,
     "ivf_cell_stats": ORACLE_IVF_CELL_STATS,
     "salted_join_agg": ORACLE_SALTED_JOIN_AGG,
     "canonicalize_tables": ORACLE_CANONICALIZE_TABLES,

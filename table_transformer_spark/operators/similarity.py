@@ -235,10 +235,14 @@ _MAX_CODEBOOK = 1 << 16  # broadcast codebooks stay driver-tiny
 
 
 def _ivf_assign(df: DataFrame, id_col: str, vec_col: str,
-                n_cells: int, codebook: DataFrame | None) -> DataFrame:
-    """Shared IVF assignment stage: broadcast the codebook, assign each
-    vector to its max-cosine centroid with one BLAS matmul per Arrow
-    batch (ties → lowest centroid id).  Returns (vec_id, cell, vec).
+                n_cells: int, codebook: DataFrame | None,
+                nprobe: int = 1) -> DataFrame:
+    """Shared IVF assignment stage: broadcast the codebook, rank each
+    vector's ``nprobe`` max-cosine centroids with one BLAS matmul per
+    Arrow batch (ties → lowest centroid id).  Returns (vec_id, cell,
+    probe_rank, vec): probe_rank 0 is the *home* cell (where the vector
+    is indexed); ranks 1..nprobe-1 are the extra cells the vector
+    probes as a query.
 
     ``codebook`` is a (cid, cvec) DataFrame — the k-means codebook a
     production run trains offline.  When omitted, the ``n_cells``
@@ -272,8 +276,10 @@ def _ivf_assign(df: DataFrame, id_col: str, vec_col: str,
     assign_schema = T.StructType([
         T.StructField("vec_id", T.LongType()),
         T.StructField("cell", T.LongType()),
+        T.StructField("probe_rank", T.IntegerType()),
         T.StructField("vec", df.schema[vec_col].dataType),
     ])
+    n_probe = min(nprobe, len(cids))
 
     def assign(batches):
         ci, cm, cn = bc.value
@@ -281,12 +287,27 @@ def _ivf_assign(df: DataFrame, id_col: str, vec_col: str,
             q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             qn = np.sqrt((q * q).sum(axis=1))
             sims = (q @ cm.T) / (qn[:, None] * cn[None, :])
-            yield pd.DataFrame({
-                "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            if n_probe == 1:
                 # argmax returns the FIRST max → lowest cid on ties
                 # (cids are collected in ascending cid order)
-                "cell": ci[sims.argmax(axis=1)],
-                "vec": pdf[vec_col]})
+                yield pd.DataFrame({
+                    "vec_id": ids,
+                    "cell": ci[sims.argmax(axis=1)],
+                    "probe_rank": np.zeros(len(ids), dtype=np.int32),
+                    "vec": pdf[vec_col]})
+                continue
+            rows = {"vec_id": [], "cell": [], "probe_rank": [], "vec": []}
+            for i in range(len(ids)):
+                # cos desc, cid asc — same total order as the SQL twin's
+                # row_number() OVER (ORDER BY ccos DESC, cid ASC)
+                order = np.lexsort((ci, -sims[i]))[:n_probe]
+                for r, c in enumerate(order):
+                    rows["vec_id"].append(ids[i])
+                    rows["cell"].append(ci[c])
+                    rows["probe_rank"].append(r)
+                    rows["vec"].append(pdf[vec_col].iloc[i])
+            yield pd.DataFrame(rows)
 
     return df.select(id_col, vec_col).mapInPandas(
         assign, schema=assign_schema)
@@ -308,33 +329,46 @@ def ivf_cell_stats(df: DataFrame, id_col: str, vec_col: str,
 
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
              n_cells: int = 16,
-             codebook: DataFrame | None = None) -> DataFrame:
-    """IVF-style approximate top-k: assign every vector to its nearest
-    centroid ("inverted-file cell"), search only within the cell.
+             codebook: DataFrame | None = None,
+             nprobe: int = 1) -> DataFrame:
+    """IVF-style approximate top-k: index every vector in its nearest
+    centroid's cell ("inverted file"), search the ``nprobe``
+    nearest-centroid cells per query.
 
     ``codebook`` — a (cid, cvec) DataFrame trained offline (k-means);
     defaults to the ``n_cells`` lowest-id vectors, a deterministic
-    stand-in with the identical plan:
+    stand-in with the identical plan.  ``nprobe`` is the classic IVF
+    recall/cost knob: 1 searches only the home cell (fastest, misses
+    true neighbors whose home differs); n_cells degenerates to exact
+    brute force.  Cost scales linearly — each query row is replicated
+    ``nprobe``× into the cell shuffle and scores against each probed
+    cell's index matrix.
 
     1. collect + broadcast the (tiny) codebook;
-    2. Arrow-batched assignment kernel: one BLAS matmul per batch,
-       argmax cell (ties → lowest centroid id);
-    3. one shuffle on ``cell``, then a per-cell BLAS kernel computes
-       the full within-cell cosine matrix and emits each vector's
-       top-k (E[cell] = N/n_cells; n_cells scales with N like the LSH
-       bit count, see the module docstring's cardinality argument).
+    2. Arrow-batched assignment kernel: one BLAS matmul per batch;
+       per vector, the top-``nprobe`` cells by centroid cosine (ties →
+       lowest centroid id); rank 0 is the *home* cell where the vector
+       is indexed;
+    3. one shuffle on ``cell``, then a per-cell BLAS kernel scores all
+       probing queries against the cell's home vectors and emits each
+       query's local top-k (E[cell] = N/n_cells; n_cells scales with N
+       like the LSH bit count, see the module docstring);
+    4. for ``nprobe`` > 1, one window re-ranks the per-cell candidates
+       globally (a global top-k neighbor is always inside some probed
+       cell's local top-k, so per-cell top-k candidates suffice).
 
     No per-pair rows ever materialize — the quadratic lives inside a
     bounded per-cell matmul; check :func:`ivf_cell_stats` first to
     confirm no cell is hot enough to break that bound.  Output shape
     matches :func:`brute_force_topk`; vectors alone in their cell
-    yield no rows (approximate by design)."""
+    yield no rows at nprobe=1 (approximate by design)."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    assigned = _ivf_assign(df, id_col, vec_col, n_cells, codebook)
+    assigned = _ivf_assign(df, id_col, vec_col, n_cells, codebook,
+                           nprobe=nprobe)
 
     out_schema = T.StructType([
         T.StructField("vec_id", T.LongType()),
@@ -344,21 +378,39 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
     ])
 
     def cell_topk(key, pdf):
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        mat = np.array([list(v) for v in pdf["vec"]], dtype=np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        sims = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+        # index side: home vectors only; query side: every probe row
+        idx = pdf[pdf["probe_rank"] == 0]
+        ids_i = idx["vec_id"].to_numpy(dtype=np.int64)
+        ids_q = pdf["vec_id"].to_numpy(dtype=np.int64)
         rows = {"vec_id": [], "neighbor_id": [], "rank": [], "cos": []}
-        for i in range(len(ids)):
-            mask = ids != ids[i]
-            cand = np.lexsort((ids[mask], -sims[i][mask]))
-            for r, ci in enumerate(cand[:k], 1):
-                rows["vec_id"].append(ids[i])
-                rows["neighbor_id"].append(ids[mask][ci])
-                rows["rank"].append(r)
-                rows["cos"].append(round(float(sims[i][mask][ci]), 6))
+        if len(ids_i):
+            mat_i = np.array([list(v) for v in idx["vec"]],
+                             dtype=np.float64)
+            mat_q = np.array([list(v) for v in pdf["vec"]],
+                             dtype=np.float64)
+            norm_i = np.sqrt((mat_i * mat_i).sum(axis=1))
+            norm_q = np.sqrt((mat_q * mat_q).sum(axis=1))
+            sims = (mat_q @ mat_i.T) / (norm_q[:, None] * norm_i[None, :])
+            for i in range(len(ids_q)):
+                mask = ids_i != ids_q[i]
+                cand = np.lexsort((ids_i[mask], -sims[i][mask]))
+                for r, ci in enumerate(cand[:k], 1):
+                    rows["vec_id"].append(ids_q[i])
+                    rows["neighbor_id"].append(ids_i[mask][ci])
+                    rows["rank"].append(r)
+                    rows["cos"].append(float(sims[i][mask][ci]))
         return pd.DataFrame(rows) if rows["vec_id"] else pd.DataFrame(
             {f.name: pd.Series(dtype=object) for f in out_schema})
 
-    return assigned.groupBy("cell").applyInPandas(
+    local = assigned.groupBy("cell").applyInPandas(
         cell_topk, schema=out_schema)
+    if nprobe > 1:
+        # global re-rank over RAW cos (rounding only at the edge, so
+        # sub-1e-6 differences order exactly like the SQL twin)
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc())
+        local = (local.drop("rank")
+                 .withColumn("rank", F.row_number().over(w).cast("int"))
+                 .filter(F.col("rank") <= k)
+                 .select("vec_id", "neighbor_id", "rank", "cos"))
+    return local.withColumn("cos", F.round("cos", 6))

@@ -287,3 +287,34 @@ def test_lsh_band_relation_is_slim(spark):
            for r in embedding_neardup_pairs(
                df, "vec_id", "embedding", threshold=0.9).collect()}
     assert got == {(0, 1, 1.0)}
+
+
+def test_ivf_nprobe_recovers_cross_cell_neighbors(spark):
+    """nprobe is the IVF recall knob: a query whose true neighbor is
+    indexed in a different home cell misses it at nprobe=1 and finds
+    it at nprobe=2; at nprobe=n_cells IVF equals brute force."""
+    from table_transformer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    # two centroids on the axes; vec 100 sits between clusters, closer
+    # to x (home = cell 0) but its true nearest neighbor is 200 (y-home)
+    vecs = [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+            (100, [0.75, 0.7]), (200, [0.72, 0.73]),
+            (300, [1.0, 0.05])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    def top1(rows):
+        return {r.vec_id: r.neighbor_id for r in rows if r.rank == 1}
+
+    probe1 = top1(ivf_topk(df, "vec_id", "embedding", k=1,
+                           n_cells=2, nprobe=1).collect())
+    probe2 = top1(ivf_topk(df, "vec_id", "embedding", k=1,
+                           n_cells=2, nprobe=2).collect())
+    exact = top1(brute_force_topk(df, "vec_id", "embedding",
+                                  k=1).collect())
+    assert exact[100] == 200
+    assert probe1[100] != 200      # home-cell-only search misses it
+    assert probe2[100] == 200      # second probe recovers it
+    assert probe2 == exact         # nprobe = n_cells == brute force
