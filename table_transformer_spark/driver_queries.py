@@ -1420,6 +1420,32 @@ WHERE sid < last_sid              -- closed by an over-gap successor
 """
 
 
+def q_dedup_event_stream(spark, sf_dir):
+    """Streaming ingest dedup (global-DISTINCT regime): first
+    occurrence per (user_id, event_type), run to completion with an
+    availableNow trigger.  The key set is deterministic (which
+    physical row survives is not — only keys are emitted), so the
+    batch twin is plain SELECT DISTINCT.  The bounded-state
+    within-watermark regime is pytest-covered
+    (test_streaming_and_scans.py: eviction + re-emission)."""
+    import uuid
+
+    from .pipeline.streaming import dedup_event_stream
+
+    schema = load(spark, sf_dir, "events").schema
+    name = f"dedup_stream_{uuid.uuid4().hex[:12]}"
+    q = (dedup_event_stream(spark, sf_dir, schema, glob="events.parquet")
+         .writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(600)
+    return spark.table(name)
+
+
+ORACLE_DEDUP_EVENT_STREAM = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def q_repetition_filters(spark, sf_dir):
     from .operators.text_analysis import repetition_filters
     return repetition_filters(load(spark, sf_dir, "documents"),
@@ -1991,6 +2017,7 @@ QUERIES = {
     "create_table_dict_checks": q_create_table_dict_checks,
     "random_shuffle_cap": q_random_shuffle_cap,
     "sessionize_stream_stateful": q_sessionize_stream_stateful,
+    "dedup_event_stream": q_dedup_event_stream,
     "repetition_filters": q_repetition_filters,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_nprobe2": q_ivf_topk_nprobe2,
@@ -2040,6 +2067,7 @@ ORACLES = {
     "create_table_dict_checks": ORACLE_CREATE_TABLE_DICT_CHECKS,
     "random_shuffle_cap": ORACLE_RANDOM_SHUFFLE_CAP,
     "sessionize_stream_stateful": ORACLE_SESSIONIZE_STREAM_STATEFUL,
+    "dedup_event_stream": ORACLE_DEDUP_EVENT_STREAM,
     "repetition_filters": ORACLE_REPETITION_FILTERS,
     "ivf_topk": ORACLE_IVF_TOPK,
     "ivf_topk_nprobe2": ORACLE_IVF_TOPK_NPROBE2,

@@ -183,3 +183,48 @@ def stream_extract(spark: SparkSession, documents_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+def dedup_event_stream(spark: SparkSession, events_dir: str, event_schema,
+                       keys=("user_id", "event_type"),
+                       watermark: str | None = None,
+                       max_files_per_trigger: int = 1,
+                       glob: str | None = None):
+    """Streaming ingest dedup: emit only the first occurrence of each
+    key combination.
+
+    Two state regimes, picked by ``watermark``:
+
+    * ``None`` → global ``dropDuplicates``: exact streaming DISTINCT.
+      State grows with the number of distinct keys — right when keys
+      are drawn from a bounded catalog (content fingerprints of a
+      fixed corpus, (user, event_type) pairs), and the batch twin is
+      plain ``SELECT DISTINCT``.
+    * ``"10 minutes"``-style delay → ``dropDuplicatesWithinWatermark``:
+      state is bounded by the delay window — THE scale pattern for
+      10^12-doc ingest dedup, where the same document re-arrives in
+      bursts (crawler re-fetches, retried uploads) and an occurrence
+      separated by more than the delay may re-emit after its state is
+      evicted.  Exactly-once within the window, at-least-once across
+      windows; downstream exact dedup (``exact_dedup_groups``) stays
+      the batch backstop.
+
+    Output is the key columns only: WHICH physical row survives is
+    arrival-order-dependent, the key set itself is deterministic.
+    """
+    from pyspark.sql import functions as F
+
+    reader = (spark.readStream.schema(event_schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger))
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    stream = (reader.parquet(events_dir)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    key_cols = list(keys)
+    if watermark is None:
+        deduped = stream.dropDuplicates(key_cols)
+    else:
+        deduped = (stream.withWatermark("ts", watermark)
+                   # the event-time column must be part of the state key
+                   .dropDuplicatesWithinWatermark(key_cols))
+    return deduped.select(*key_cols)

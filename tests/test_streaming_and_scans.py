@@ -282,3 +282,80 @@ def test_sessionize_state_fn_far_late_run_merges():
     assert pd.concat(out).values.tolist() == [[1, 100, 160, 3],
                                               [1, 500, 500, 1]]
     assert state.value == (10000, 10000, 1)  # carried session untouched
+
+
+def test_dedup_event_stream_global_distinct(spark, tmp_path):
+    """Global regime (watermark=None): drained stream output == batch
+    SELECT DISTINCT on the dedup keys."""
+    from table_transformer_spark.pipeline.streaming import dedup_event_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events_dir = str(tmp_path / "dedup_events")
+    events.write.parquet(events_dir)
+
+    q = (dedup_event_stream(spark, events_dir, events.schema)
+         .writeStream.outputMode("append").format("memory")
+         .queryName("dedup_global").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r.user_id, r.event_type)
+                 for r in spark.sql("SELECT * FROM dedup_global").collect())
+    want = sorted((r.user_id, r.event_type)
+                  for r in events.select("user_id", "event_type")
+                  .distinct().collect())
+    assert got == want and len(got) > 0
+
+
+def test_dedup_event_stream_watermark_evicts_and_reemits(spark, tmp_path):
+    """Bounded-state regime: a duplicate arriving within the watermark
+    delay is dropped; after the watermark passes the first occurrence's
+    state-expiry, the key's state is evicted and a later occurrence
+    re-emits (at-least-once across windows, exactly-once within)."""
+    import datetime as dt
+
+    from table_transformer_spark.pipeline.streaming import dedup_event_stream
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def efile(i, minutes, user=7, etype="click"):
+        return [(i, base + dt.timedelta(minutes=minutes), user,
+                 etype, 1.0, "{}")]
+
+    import glob as globmod
+    import shutil
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    events_dir = tmp_path / "wm_events"
+    events_dir.mkdir()
+    # one FILE per micro-batch (maxFilesPerTrigger=1), written
+    # sequentially so modification-time order pins the batch order.
+    # Key A's state expires at last-seen + delay (a duplicate REFRESHES
+    # the expiry, and the in-batch duplicate check runs before state
+    # cleanup), so re-emission needs: a batch advancing the watermark
+    # past A's expiry, then a FULL batch with no A arrival (cleanup
+    # evicts A), and only then A's return.
+    for name, rows in (
+            ("f0.parquet", efile(0, 0)),                   # A: emit
+            ("f1.parquet", efile(1, 60, user=8, etype="view")),  # B: emit;
+            #   watermark after this batch = 11:00-10min = 10:50 > A's
+            #   10:10 expiry
+            ("f2.parquet", efile(2, 65, user=9, etype="buy")),   # C: emit;
+            #   cleanup in this batch evicts A (no A arrival to refresh)
+            ("f3.parquet", efile(3, 90))):                 # A: re-emit
+        staging = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(staging))
+        part = globmod.glob(str(staging / "part-*.parquet"))[0]
+        shutil.copy(part, str(events_dir / name))
+
+    q = (dedup_event_stream(spark, str(events_dir), schema,
+                            watermark="10 minutes")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("dedup_wm").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM dedup_wm").collect()
+    # A, B, C emit; A re-emits after eviction: at-least-once across
+    # watermark windows, the bounded-state trade documented on the
+    # operator
+    assert sorted((r.user_id, r.event_type) for r in rows) \
+        == [(7, "click"), (7, "click"), (8, "view"), (9, "buy")]
