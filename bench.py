@@ -115,8 +115,6 @@ def main() -> None:
     )
 
     corpus_dir = tempfile.mkdtemp(prefix="ttspark_bench_corpus_")
-    write_corpus(spark, EXTRACT_DOCS, corpus_dir)
-    docs, media = read_corpus(spark, corpus_dir)
 
     # best wall per query across REPS full passes (not back-to-back
     # retries): the host's degradation windows last minutes, so a
@@ -137,7 +135,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extract_sec = float("inf")
+    extract_any_gated = False
     try:
+        write_corpus(spark, EXTRACT_DOCS, corpus_dir)
+        docs, media = read_corpus(spark, corpus_dir)
         for pass_no in range(REPS):
             for name in BENCH_QUERIES:
                 fn = QUERIES[name]
@@ -148,7 +149,8 @@ def main() -> None:
                 timings[name] = round(min(prev, wall), 3)
                 print(f"[bench] {name}: {wall:.3f}s (pass {pass_no + 1}, "
                       f"best {timings[name]}s)", file=sys.stderr)
-            wall, _ok = gate.run(_timed_extract, label="extract")
+            wall, ok = gate.run(_timed_extract, label="extract")
+            extract_any_gated = extract_any_gated or ok
             extract_sec = min(extract_sec, wall)
             print(f"[bench] extract_spans_clean: {wall:.3f}s "
                   f"(pass {pass_no + 1}, best {extract_sec:.3f}s)",
@@ -171,7 +173,11 @@ def main() -> None:
         "extract_docs": EXTRACT_DOCS,
     }
     if gate.enabled:
-        result["probe_gate"] = gate.telemetry()
+        # headline_ungated=true means EVERY extraction rep exhausted its
+        # probe retries — the published docs/s was measured in degraded
+        # windows and must not be read as a gated number
+        result["probe_gate"] = {**gate.telemetry(),
+                                "headline_ungated": not extract_any_gated}
     print(json.dumps(result))
     spark.stop()
 

@@ -4,9 +4,10 @@ local[N] and local[4N] on identical input (the sandbox stand-in for N
 vs 4N executors mandated by the driver).
 
 Packages the library as a zip, submits ``scripts/run_extraction.py``
-via ``spark-submit --py-files`` at both parallelism levels, and reports
-throughput at each plus scaling efficiency
-    eff = (throughput_4N / throughput_N) / 4.
+via ``spark-submit --py-files`` at both parallelism levels (N =
+``SCALING_N``, high level = ``SCALING_N_HIGH``, default 4N), and
+reports throughput at each plus scaling efficiency
+    eff = (throughput_high / throughput_low) / (N_high / N_low).
 
 Writes BENCH_SCALING.json at the repo root and prints it.
 

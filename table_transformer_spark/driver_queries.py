@@ -1437,7 +1437,11 @@ def q_dedup_event_stream(spark, sf_dir):
     q = (dedup_event_stream(spark, sf_dir, schema, glob="events.parquet")
          .writeStream.outputMode("append").format("memory")
          .queryName(name).trigger(availableNow=True).start())
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError(
+            "dedup_event_stream did not drain within 600s — refusing to "
+            "compare a partial memory table against the oracle")
     return spark.table(name)
 
 

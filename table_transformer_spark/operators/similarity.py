@@ -162,7 +162,12 @@ def _join_vecs_back(cand: DataFrame, df: DataFrame, id_col: str,
     wire once per pair it participates in — versus n_bands× for every
     row when the band relation carries the payload — and the join input
     is the candidate set, already orders of magnitude smaller than the
-    banded relation."""
+    banded relation.
+
+    Precondition: *id_col* is a key (unique per row).  A duplicated id
+    fans each of its candidate pairs out per duplicate row — the same
+    semantics a SQL join-back twin has, but different from a
+    first()-style collapse; dedupe upstream if ids can repeat."""
     va = df.select(F.col(id_col).alias("_vida"),
                    F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("_vidb"),

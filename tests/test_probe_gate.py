@@ -30,6 +30,8 @@ def _gate(**kw):
     kw.setdefault("enabled", True)
     kw.setdefault("retry_sleep", 0.0)
     kw.setdefault("multi_threshold", 1.1)
+    # in-process probes so monkeypatched walls are honored
+    kw.setdefault("subprocess_probes", False)
     return pg.ProbeGate(**kw)
 
 
@@ -116,3 +118,11 @@ def test_telemetry_shape():
     t = g.telemetry()
     assert set(t) == {"enabled", "threshold_sec", "multi_threshold_sec",
                       "rejected_samples", "waited_attempts", "probe_walls"}
+
+
+def test_subprocess_probe_pair_measures_host():
+    """The default gate probes in a fresh interpreter (a hot
+    JVM-attached driver inflates in-process probes); the subprocess
+    path must return both walls as positive floats."""
+    single, multi = pg.probe_pair_subprocess()
+    assert single > 0.0 and multi > 0.0
