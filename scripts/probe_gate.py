@@ -95,6 +95,38 @@ def probe_pair_subprocess() -> tuple[float, float]:
     return float(d["single"]), float(d["multi"])
 
 
+def _start_load_monitor(expected_load: float, peak_excess: list,
+                        interval: float = 20.0, warmup: float = 120.0):
+    """Background thread recording peak 1-min loadavg excess over the
+    measured job's own expected contribution.  Reading loadavg costs
+    nothing, so unlike a mid-run CPU probe it cannot perturb the
+    sample.  The first ``warmup`` seconds are skipped: 1-min loadavg
+    decays exponentially, so readings right after the PREVIOUS heavy
+    run would bill its residue to this sample (runs shorter than the
+    warmup get no readings and rely on their brackets, which are
+    strong for short samples anyway).  Returns a stop() callable."""
+    import threading
+
+    stop_evt = threading.Event()
+
+    def monitor():
+        stop_evt.wait(warmup)
+        while not stop_evt.is_set():
+            excess = os.getloadavg()[0] - expected_load
+            if excess > peak_excess[0]:
+                peak_excess[0] = excess
+            stop_evt.wait(interval)
+
+    t = threading.Thread(target=monitor, daemon=True)
+    t.start()
+
+    def stop():
+        stop_evt.set()
+        t.join(timeout=5)
+
+    return stop
+
+
 class ProbeGate:
     """Bracketing probe gate around measured samples.
 
@@ -126,6 +158,7 @@ class ProbeGate:
         self.rejected = 0          # samples thrown away
         self.waited = 0            # attempts spent waiting, no sample taken
         self.probes: list[list[float]] = []  # [single, multi] walls in order
+        self.load_excess: list[float] = []  # peak mid-run loadavg excess
         self._carry: float | None = None  # trailing probe verdict-wall
 
     def _probe(self) -> float:
@@ -141,9 +174,20 @@ class ProbeGate:
         self.probes.append([round(single, 3), round(multi, 3)])
         return max(single, multi * self.threshold / self.multi_threshold)
 
-    def run(self, fn, label: str = ""):
+    def run(self, fn, label: str = "", expected_load: float | None = None):
+        """``expected_load``: the measured job's own expected 1-min
+        load-average contribution (e.g. its core count + a couple of
+        JVM helper threads).  When set, a zero-perturbation monitor
+        thread samples ``os.getloadavg()`` during the run and the
+        sample is rejected if the excess over ``expected_load`` ever
+        passes ``PROBE_LOAD_TOLERANCE`` (default 4.0) — bracketing
+        probes are point samples and a minutes-long run can degrade
+        mid-flight between two healthy brackets (measured: a 55-min
+        192k campaign lost ~20% per-doc throughput to co-tenant bursts
+        its brackets never saw)."""
         if not self.enabled:
             return fn(0), True
+        tolerance = float(os.environ.get("PROBE_LOAD_TOLERANCE", "4.0"))
         result, have_result = None, False
         for attempt in range(self.max_retries + 1):
             pre = self._carry if self._carry is not None else self._probe()
@@ -158,16 +202,28 @@ class ProbeGate:
                       file=sys.stderr)
                 time.sleep(self.retry_sleep)
                 continue
-            result, have_result = fn(attempt), True
+            peak_excess = [0.0]
+            stop_monitor = None
+            if expected_load is not None:
+                stop_monitor = _start_load_monitor(expected_load,
+                                                   peak_excess)
+            try:
+                result, have_result = fn(attempt), True
+            finally:
+                if stop_monitor is not None:
+                    stop_monitor()
+            self.load_excess.append(round(peak_excess[0], 2))
             post = self._probe()
             self._carry = post
-            if pre <= self.threshold and post <= self.threshold:
+            mid_ok = peak_excess[0] <= tolerance
+            if pre <= self.threshold and post <= self.threshold and mid_ok:
                 return result, True
             self.rejected += 1
-            print(f"[probe-gate] {label}: sample rejected "
-                  f"(probes {pre:.2f}s/{post:.2f}s vs "
-                  f"{self.threshold}s, attempt {attempt + 1})",
-                  file=sys.stderr)
+            why = (f"mid-run load excess {peak_excess[0]:.1f} > "
+                   f"{tolerance}" if not mid_ok else
+                   f"probes {pre:.2f}s/{post:.2f}s vs {self.threshold}s")
+            print(f"[probe-gate] {label}: sample rejected ({why}, "
+                  f"attempt {attempt + 1})", file=sys.stderr)
         if not have_result:  # every attempt waited — sample once, ungated
             result = fn(self.max_retries)
         print(f"[probe-gate] {label}: retries exhausted — recording the "
@@ -180,7 +236,8 @@ class ProbeGate:
                 "multi_threshold_sec": self.multi_threshold,
                 "rejected_samples": self.rejected,
                 "waited_attempts": self.waited,
-                "probe_walls": self.probes}
+                "probe_walls": self.probes,
+                "mid_run_load_excess": self.load_excess}
 
 
 if __name__ == "__main__":

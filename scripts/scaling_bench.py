@@ -140,7 +140,11 @@ def main() -> None:
                     lambda att, c=cores, t=tag, j=i: submit(
                         c, zpath,
                         os.path.join(tmp, f"out{t}_{j}_a{att}"), corpus_dir),
-                    label=f"local[{cores}] rep {i}")
+                    label=f"local[{cores}] rep {i}",
+                    # the job's own loadavg contribution: its worker
+                    # threads plus a couple of JVM service threads —
+                    # excess above this mid-run is co-tenant noise
+                    expected_load=cores + 2)
                 runs[cores].append(res)
                 ungated += 0 if ok else 1
         for cores in (N_LOW, N_HIGH):

@@ -117,7 +117,8 @@ def test_telemetry_shape():
     g = _gate()
     t = g.telemetry()
     assert set(t) == {"enabled", "threshold_sec", "multi_threshold_sec",
-                      "rejected_samples", "waited_attempts", "probe_walls"}
+                      "rejected_samples", "waited_attempts", "probe_walls",
+                      "mid_run_load_excess"}
 
 
 def test_subprocess_probe_pair_measures_host():
@@ -126,3 +127,39 @@ def test_subprocess_probe_pair_measures_host():
     path must return both walls as positive floats."""
     single, multi = pg.probe_pair_subprocess()
     assert single > 0.0 and multi > 0.0
+
+
+def test_mid_run_load_excess_rejects_sample(monkeypatch):
+    """Bracketing probes are point samples; the loadavg monitor must
+    reject a sample whose mid-run load exceeded the job's own expected
+    contribution even when both brackets are healthy."""
+    _patch_probes(monkeypatch, [0.4] * 8)
+    # warmup=0 monitor with a spiking loadavg, then a quiet retry
+    loads = iter([12.0, 4.1, 4.0, 4.0, 4.0, 4.0, 4.0, 4.0])
+    monkeypatch.setattr(pg.os, "getloadavg",
+                        lambda: (next(loads, 4.0), 0.0, 0.0))
+    monkeypatch.setattr(
+        pg, "_start_load_monitor",
+        lambda exp, peak, interval=20.0, warmup=120.0: (
+            peak.__setitem__(0, max(peak[0],
+                                    pg.os.getloadavg()[0] - exp))
+            or (lambda: None)))
+    calls = []
+    g = _gate()
+    result, ok = g.run(lambda att: calls.append(att) or att, label="x",
+                       expected_load=4.0)
+    assert ok and len(calls) == 2          # first sample rejected on load
+    assert g.rejected == 1
+    assert g.load_excess[0] == 8.0         # 12.0 observed - 4.0 expected
+
+
+def test_load_monitor_thread_records_peak_excess(monkeypatch):
+    """The real monitor thread (warmup skipped) records the peak."""
+    import time as _t
+
+    monkeypatch.setattr(pg.os, "getloadavg", lambda: (9.5, 0.0, 0.0))
+    peak = [0.0]
+    stop = pg._start_load_monitor(4.0, peak, interval=0.01, warmup=0.0)
+    _t.sleep(0.1)
+    stop()
+    assert abs(peak[0] - 5.5) < 1e-9
