@@ -74,6 +74,12 @@ BENCH_QUERIES = [
     "random_shuffle_cap",
     "repetition_filters",
     "ivf_topk",
+    "ivf_topk_nprobe2",
+    "embedding_neardup",
+    "salted_join_agg",
+    "dedup_event_stream",
+    "dedup_event_stream_watermark",
+    "grits_summary_noisy_vs_clean",
     "canonicalize_tables",
 ]
 
@@ -83,10 +89,15 @@ def _run(df) -> None:
 
 
 def main() -> None:
-    from table_transformer_spark.driver_queries import QUERIES
+    # the entry-point catalog, not driver_queries.QUERIES directly: it
+    # adds the composite queries (grits_summary_noisy_vs_clean, the
+    # extraction twins) that only exist at the entry-point layer
+    from __spark_entry__ import queries as entry_queries
     from table_transformer_spark.fixtures.spark_io import documents_df, media_df
     from table_transformer_spark.pipeline.extract import extract
     from table_transformer_spark.pipeline.session import get_spark
+
+    QUERIES = entry_queries()
 
     spark = get_spark(app_name="ttspark-bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
@@ -155,7 +166,13 @@ def main() -> None:
                 timings[name] = round(min(prev, wall), 3)
                 print(f"[bench] {name}: {wall:.3f}s (pass {pass_no + 1}, "
                       f"best {timings[name]}s)", file=sys.stderr)
-            wall, ok = gate.run(_timed_extract, label="extract")
+            # expected_load: the extraction job's own fair share (its
+            # cores + a couple of JVM helpers).  At the default 8000
+            # docs the run is shorter than the monitor's warmup, so
+            # brackets carry the verdict; at campaign sizes
+            # (BENCH_EXTRACT_DOCS ≥ ~50k) the mid-run monitor engages.
+            wall, ok = gate.run(_timed_extract, label="extract",
+                                expected_load=CPUS + 2)
             extract_any_gated = extract_any_gated or ok
             extract_sec = min(extract_sec, wall)
             print(f"[bench] extract_spans_clean: {wall:.3f}s "
@@ -181,9 +198,24 @@ def main() -> None:
     if gate.enabled:
         # headline_ungated=true means EVERY extraction rep exhausted its
         # probe retries — the published docs/s was measured in degraded
-        # windows and must not be read as a gated number
-        result["probe_gate"] = {**gate.telemetry(),
-                                "headline_ungated": not extract_any_gated}
+        # windows and must not be read as a gated number.
+        # headline_sample/-_from_gated attribute the published wall to
+        # the specific sample it came from (telemetry carries one
+        # record per sample), so a mixed gated/ungated run is
+        # machine-checkable without the stderr tail.
+        telemetry = gate.telemetry()
+        headline = sorted(
+            (i for i, s in enumerate(telemetry["samples"])
+             if s["label"] == "extract"
+             and s["wall"] == round(extract_sec, 3)),
+            key=lambda i: not telemetry["samples"][i]["accepted"])
+        result["probe_gate"] = {
+            **telemetry,
+            "headline_ungated": not extract_any_gated,
+            "headline_sample": headline[0] if headline else None,
+            "headline_from_gated_sample": bool(
+                headline
+                and telemetry["samples"][headline[0]]["accepted"])}
     print(json.dumps(result))
     spark.stop()
 

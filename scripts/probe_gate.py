@@ -13,17 +13,21 @@ neighbors, not the code.  The gate brackets every measured sample with
 two probes — a **single-core** 10⁷-iteration Python add loop (~0.4s
 healthy; ``PROBE_THRESHOLD_SEC``, default 0.75) and an **all-cores**
 variant (one such burn per core, in parallel;
-``PROBE_MULTI_THRESHOLD_SEC``, default 1.1) that catches the co-tenant
-multi-core contention the single-core probe provably misses — and
-accepts the sample only when BOTH bracketing probe pairs pass.
-Consecutive samples share the boundary probe (probe *before / between /
-after* the runs), exactly the recorded campaign's shape; a rejected
+``PROBE_MULTI_THRESHOLD_SEC``, default 1.25) that catches the
+co-tenant multi-core contention the single-core probe provably misses
+— and accepts the sample only when BOTH bracketing probe pairs pass.  Consecutive samples share
+the boundary probe (probe *before / between / after* the runs),
+exactly the recorded campaign's shape — but a carried probe verdict
+expires after ``carry_max_age`` seconds (default 60), because a probe
+taken minutes ago says nothing about the current window; a rejected
 sample is retried up to ``max_retries`` times, its trailing probe
-serving as the next attempt's leading probe.
+serving as the next attempt's leading probe while fresh.
 
-Enable with ``SCALING_PROBE_GATE=1`` (read by ``bench.py`` and
-``scripts/scaling_bench.py``); the gate is a transparent no-op
-otherwise, so un-gated runs behave exactly as before.
+``bench.py`` enables the gate BY DEFAULT (its own env default is
+``SCALING_PROBE_GATE=1``; set 0 to opt out);
+``scripts/scaling_bench.py`` still requires an explicit
+``SCALING_PROBE_GATE=1``.  When disabled the gate is a transparent
+no-op, so un-gated runs behave exactly as before.
 """
 
 from __future__ import annotations
@@ -143,7 +147,8 @@ class ProbeGate:
                  max_retries: int = 4, enabled: bool | None = None,
                  retry_sleep: float = 15.0,
                  multi_threshold: float | None = None,
-                 subprocess_probes: bool = True):
+                 subprocess_probes: bool = True,
+                 carry_max_age: float = 60.0):
         self.threshold = DEFAULT_THRESHOLD if threshold is None else threshold
         self.multi_threshold = (DEFAULT_MULTI_THRESHOLD
                                 if multi_threshold is None
@@ -155,11 +160,22 @@ class ProbeGate:
         # the HOST, not the caller's hot JVM-attached driver process
         # (see probe_pair_subprocess)
         self.subprocess_probes = subprocess_probes
+        # carried trailing probes expire: when minutes of un-probed work
+        # run between gate.run() calls (bench.py runs the full query
+        # pass between extraction reps), last rep's trailing probe says
+        # nothing about the current window, so a stale carry is dropped
+        # and a fresh leading probe taken
+        self.carry_max_age = carry_max_age
         self.rejected = 0          # samples thrown away
         self.waited = 0            # attempts spent waiting, no sample taken
         self.probes: list[list[float]] = []  # [single, multi] walls in order
         self.load_excess: list[float] = []  # peak mid-run loadavg excess
-        self._carry: float | None = None  # trailing probe verdict-wall
+        # one record per fn() invocation: which wall was measured, on
+        # which attempt, and whether its brackets accepted it — so a
+        # published headline is attributable to a specific gated sample
+        # without reading the stderr tail
+        self.samples: list[dict] = []
+        self._carry: tuple[float, float] | None = None  # (wall, taken_at)
 
     def _probe(self) -> float:
         """One bracketing probe: single-core AND all-cores walls.
@@ -187,10 +203,21 @@ class ProbeGate:
         its brackets never saw)."""
         if not self.enabled:
             return fn(0), True
+
+        def record(result, accepted: bool, attempt: int) -> None:
+            self.samples.append({
+                "label": label, "attempt": attempt, "accepted": accepted,
+                "wall": (round(float(result), 3)
+                         if isinstance(result, (int, float)) else None)})
+
         tolerance = float(os.environ.get("PROBE_LOAD_TOLERANCE", "4.0"))
         result, have_result = None, False
         for attempt in range(self.max_retries + 1):
-            pre = self._carry if self._carry is not None else self._probe()
+            if (self._carry is not None
+                    and time.monotonic() - self._carry[1] > self.carry_max_age):
+                self._carry = None  # stale — doesn't describe this window
+            pre = (self._carry[0] if self._carry is not None
+                   else self._probe())
             self._carry = None
             if pre > self.threshold and attempt < self.max_retries:
                 # the window is degraded RIGHT NOW — wait it out instead
@@ -214,10 +241,12 @@ class ProbeGate:
                     stop_monitor()
             self.load_excess.append(round(peak_excess[0], 2))
             post = self._probe()
-            self._carry = post
+            self._carry = (post, time.monotonic())
             mid_ok = peak_excess[0] <= tolerance
             if pre <= self.threshold and post <= self.threshold and mid_ok:
+                record(result, True, attempt)
                 return result, True
+            record(result, False, attempt)
             self.rejected += 1
             why = (f"mid-run load excess {peak_excess[0]:.1f} > "
                    f"{tolerance}" if not mid_ok else
@@ -226,6 +255,7 @@ class ProbeGate:
                   f"attempt {attempt + 1})", file=sys.stderr)
         if not have_result:  # every attempt waited — sample once, ungated
             result = fn(self.max_retries)
+            record(result, False, self.max_retries)
         print(f"[probe-gate] {label}: retries exhausted — recording the "
               "last sample as UNGATED (host degraded throughout)",
               file=sys.stderr)
@@ -237,7 +267,8 @@ class ProbeGate:
                 "rejected_samples": self.rejected,
                 "waited_attempts": self.waited,
                 "probe_walls": self.probes,
-                "mid_run_load_excess": self.load_excess}
+                "mid_run_load_excess": self.load_excess,
+                "samples": self.samples}
 
 
 if __name__ == "__main__":

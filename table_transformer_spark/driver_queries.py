@@ -1450,6 +1450,149 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# Watermark-bounded streaming dedup: deterministic file-per-trigger
+# replay.  The designed event set (formula-twinned into the oracle's
+# VALUES, never literal-dumped from the engine) has, per (user_id,
+# event_type) key, AT MOST TWO arrivals — which closes the semantics in
+# plain SQL: the first arrival always emits; the second emits iff the
+# key's state was evicted by some batch-cleanup before its batch, i.e.
+# iff  max(ts over earlier batches) - delay  >  first_ts + delay
+# (watermark is a running max, so the last cleanup before batch b2
+# dominates; a dropped duplicate refreshes expiry, but with two
+# arrivals the only refresher IS the second arrival — pinned by
+# tests/test_streaming_and_scans.py::
+# test_dedup_event_stream_watermark_evicts_and_reemits).
+#
+# Cleanup timing, measured on this engine (a 4×600s-span draft of this
+# replay produced ZERO re-emissions): state cleanup at the end of batch
+# j uses the OPERATIVE watermark of batch j — max event time over
+# batches BEFORE j, minus delay — not the post-batch-j update.  The
+# 1800s batch spans below give every eviction ≥580s of slack under
+# either plausible cleanup model (operative-wm at end of batch j, or
+# one batch later), so the oracle is robust to that implementation
+# detail rather than tuned to it.
+# ---------------------------------------------------------------------------
+
+_DEDUP_WM_BASE = 1_700_000_000  # fixed epoch base; batches span 1800s
+_DEDUP_WM_DELAY = 600           # = the "10 minutes" passed to the op
+
+
+def _dedup_wm_replay_events():
+    """(user_id, event_type, ts_epoch, batch) rows; batch b covers
+    [base + 1800b, base + 1800b + 1799] so event time NEVER regresses
+    across batches and the watermark advances deterministically.
+
+    * keys 1000+b: one per-batch watermark driver at the batch's end
+      (unique keys — no eviction-equality edge cases);
+    * keys 0-39: first arrival in batch 0;
+    * keys 0-9 re-arrive in batch 1 — no cleanup can have run with a
+      watermark above their expiry (wm(1) applies only at batch 1's
+      END, after the dedup check) → DROPPED;
+    * keys 10-19 re-arrive in batch 3 — evicted by the cleanup after
+      batch 1 (wm base+1199 > expiry base+k+600; after batch 2 under
+      the laggier model, still before batch 3) → RE-EMITTED (the
+      at-least-once-across-windows trade, now oracled).
+    """
+    rows = []
+    for b in range(4):
+        rows.append((1000 + b, "wm", _DEDUP_WM_BASE + 1800 * b + 1799, b))
+    for k in range(40):
+        rows.append((k, "ev", _DEDUP_WM_BASE + k, 0))
+    for k in range(10):
+        rows.append((k, "ev", _DEDUP_WM_BASE + 1800 + k, 1))
+    for k in range(10, 20):
+        rows.append((k, "ev", _DEDUP_WM_BASE + 5400 + k, 3))
+    return rows
+
+
+def q_dedup_event_stream_watermark(spark, sf_dir):
+    """Streaming ingest dedup, bounded-state regime
+    (``dropDuplicatesWithinWatermark``): THE 10^12-doc ingest pattern —
+    state bounded by the delay window, exactly-once within it,
+    at-least-once across (re-emission after eviction is part of the
+    contract and part of the oracle).  Input is a deterministic
+    file-per-trigger replay (one parquet file per micro-batch, mtimes
+    pinning the order) of the designed event set above; ``sf_dir`` is
+    unused — determinism requires owning the batch boundaries."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .pipeline.streaming import dedup_event_stream
+
+    events = _dedup_wm_replay_events()
+    replay = tempfile.mkdtemp(prefix="ttspark_wm_replay_")
+    try:
+        for b in range(4):
+            batch = [e for e in events if e[3] == b]
+            tbl = pa.table({
+                "user_id": pa.array([e[0] for e in batch], pa.int64()),
+                "event_type": pa.array([e[1] for e in batch], pa.string()),
+                "ts": pa.array([e[2] * 1_000_000 for e in batch],
+                               pa.timestamp("us")),
+            })
+            path = os.path.join(replay, f"b{b}.parquet")
+            pq.write_table(tbl, path)
+            # FileStreamSource takes oldest-modification-time first:
+            # explicit, strictly increasing mtimes pin batch order
+            os.utime(path, (1_000_000 + b, 1_000_000 + b))
+        name = f"dedup_wm_{uuid.uuid4().hex[:12]}"
+        q = (dedup_event_stream(
+                spark, replay,
+                "user_id long, event_type string, ts timestamp",
+                watermark="10 minutes", max_files_per_trigger=1)
+             .writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(
+                "dedup_event_stream_watermark did not drain within 600s "
+                "— refusing to compare a partial memory table")
+        return spark.table(name)
+    finally:
+        # the memory sink holds results driver-side; the replay files
+        # are not re-read after the stream drains
+        shutil.rmtree(replay, ignore_errors=True)
+
+
+_WM_VALUES = ",\n    ".join(
+    f"({u}, '{e}', {ts}, {b})" for u, e, ts, b in _dedup_wm_replay_events())
+
+ORACLE_DEDUP_EVENT_STREAM_WATERMARK = f"""
+WITH e AS (
+  SELECT * FROM (VALUES
+    {_WM_VALUES}) v(user_id, event_type, ts, batch)
+),
+-- operative watermark of batch b = running max event time over the
+-- batches BEFORE b, minus the delay; the last state cleanup that can
+-- precede batch b2's dedup check is the one at the end of batch b2-1,
+-- which uses wm(b2-1) (measured engine behavior — see the comment
+-- above _dedup_wm_replay_events)
+wm AS (
+  SELECT b.batch, max(p.ts) - {_DEDUP_WM_DELAY} AS wm
+  FROM (SELECT DISTINCT batch FROM e) b
+  JOIN e p ON p.batch < b.batch
+  GROUP BY b.batch
+),
+ranked AS (
+  SELECT user_id, event_type, ts, batch,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts) AS rn,
+         min(ts) OVER (PARTITION BY user_id, event_type) AS first_ts
+  FROM e
+)
+SELECT CAST(r.user_id AS BIGINT) AS user_id, r.event_type
+FROM ranked r LEFT JOIN wm ON wm.batch = r.batch - 1
+WHERE r.rn = 1
+   OR (r.rn = 2 AND wm.wm > r.first_ts + {_DEDUP_WM_DELAY})
+"""
+
+
 def q_repetition_filters(spark, sf_dir):
     from .operators.text_analysis import repetition_filters
     return repetition_filters(load(spark, sf_dir, "documents"),
@@ -2022,6 +2165,7 @@ QUERIES = {
     "random_shuffle_cap": q_random_shuffle_cap,
     "sessionize_stream_stateful": q_sessionize_stream_stateful,
     "dedup_event_stream": q_dedup_event_stream,
+    "dedup_event_stream_watermark": q_dedup_event_stream_watermark,
     "repetition_filters": q_repetition_filters,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_nprobe2": q_ivf_topk_nprobe2,
@@ -2072,6 +2216,7 @@ ORACLES = {
     "random_shuffle_cap": ORACLE_RANDOM_SHUFFLE_CAP,
     "sessionize_stream_stateful": ORACLE_SESSIONIZE_STREAM_STATEFUL,
     "dedup_event_stream": ORACLE_DEDUP_EVENT_STREAM,
+    "dedup_event_stream_watermark": ORACLE_DEDUP_EVENT_STREAM_WATERMARK,
     "repetition_filters": ORACLE_REPETITION_FILTERS,
     "ivf_topk": ORACLE_IVF_TOPK,
     "ivf_topk_nprobe2": ORACLE_IVF_TOPK_NPROBE2,

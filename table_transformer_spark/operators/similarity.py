@@ -155,6 +155,26 @@ def _banded(df: DataFrame, id_col: str, vec_col: str, bands) -> DataFrame:
                     F.col("band.bkey").alias("bkey")))
 
 
+def _assert_unique_ids(df: DataFrame, id_col: str, caller: str) -> None:
+    """Enforce the join-back precondition that *id_col* is a key.
+
+    One aggregation job with an early-out ``take(1)`` (map-side partial
+    counts make this a narrow scan + one small shuffle of (id, count)
+    pairs — cheap next to the band shuffle it protects).  A duplicated
+    id would silently FAN OUT every candidate pair it touches through
+    the two equi-joins in :func:`_join_vecs_back`; failing loudly here
+    turns that silent row multiplication into a diagnosable error."""
+    dup = (df.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") > 1).take(1))
+    if dup:
+        raise ValueError(
+            f"{caller}: id column {id_col!r} is not unique (e.g. "
+            f"{id_col}={dup[0][0]!r} appears {dup[0][1]}×) — duplicated "
+            "ids fan out candidate pairs through the vector join-back; "
+            "dropDuplicates upstream or pass assert_unique_ids=False "
+            "only if duplicates are genuinely impossible")
+
+
 def _join_vecs_back(cand: DataFrame, df: DataFrame, id_col: str,
                     vec_col: str, left: str, right: str) -> DataFrame:
     """Attach both vectors to a deduped candidate-pair relation with
@@ -164,10 +184,11 @@ def _join_vecs_back(cand: DataFrame, df: DataFrame, id_col: str,
     is the candidate set, already orders of magnitude smaller than the
     banded relation.
 
-    Precondition: *id_col* is a key (unique per row).  A duplicated id
-    fans each of its candidate pairs out per duplicate row — the same
-    semantics a SQL join-back twin has, but different from a
-    first()-style collapse; dedupe upstream if ids can repeat."""
+    Precondition: *id_col* is a key (unique per row) — enforced by
+    callers via :func:`_assert_unique_ids`.  A duplicated id fans each
+    of its candidate pairs out per duplicate row — the same semantics a
+    SQL join-back twin has, but different from a first()-style
+    collapse; dedupe upstream if ids can repeat."""
     va = df.select(F.col(id_col).alias("_vida"),
                    F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("_vidb"),
@@ -189,12 +210,20 @@ def lsh_bucket_stats(df: DataFrame, id_col: str, vec_col: str,
 
 def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
                             threshold: float = 0.95,
-                            bands=DEFAULT_SIGN_BANDS) -> DataFrame:
+                            bands=DEFAULT_SIGN_BANDS,
+                            assert_unique_ids: bool = True) -> DataFrame:
     """Embedding-cosine near-duplicate candidates: pairs sharing any
     sign-bit band key with cosine ≥ threshold (the dedup-family variant
     of the LSH search — near-dups agree on sign almost everywhere, so
     each band catches them with high probability and the band union
-    compounds the recall)."""
+    compounds the recall).
+
+    ``id_col`` must be unique per row: the vectors are joined back onto
+    deduped candidate pairs by id, so a duplicated id would fan pairs
+    out per duplicate.  Checked eagerly (one cheap agg + early-out)
+    unless ``assert_unique_ids=False``."""
+    if assert_unique_ids:
+        _assert_unique_ids(df, id_col, "embedding_neardup_pairs")
     banded = _banded(df, id_col, vec_col, bands)
     a, b = banded.alias("a"), banded.alias("b")
     # a pair may collide in several bands — dedupe ids-only candidates
@@ -212,11 +241,18 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
 
 def lsh_bucketed_topk(df: DataFrame, id_col: str, vec_col: str,
-                      k: int = 1, bands=DEFAULT_SIGN_BANDS) -> DataFrame:
+                      k: int = 1, bands=DEFAULT_SIGN_BANDS,
+                      assert_unique_ids: bool = True) -> DataFrame:
     """Approximate top-k: candidates restricted to pairs sharing at
     least one sign-bit band key; same output shape as
     :func:`brute_force_topk` (vectors in empty buckets yield no rows —
-    approximate by design)."""
+    approximate by design).
+
+    ``id_col`` must be unique per row (vectors are joined back onto
+    deduped candidates by id); checked eagerly unless
+    ``assert_unique_ids=False`` — see :func:`embedding_neardup_pairs`."""
+    if assert_unique_ids:
+        _assert_unique_ids(df, id_col, "lsh_bucketed_topk")
     banded = _banded(df, id_col, vec_col, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (a.join(b, (F.col("a.bi") == F.col("b.bi"))
@@ -302,17 +338,21 @@ def _ivf_assign(df: DataFrame, id_col: str, vec_col: str,
                     "probe_rank": np.zeros(len(ids), dtype=np.int32),
                     "vec": pdf[vec_col]})
                 continue
-            rows = {"vec_id": [], "cell": [], "probe_rank": [], "vec": []}
-            for i in range(len(ids)):
-                # cos desc, cid asc — same total order as the SQL twin's
-                # row_number() OVER (ORDER BY ccos DESC, cid ASC)
-                order = np.lexsort((ci, -sims[i]))[:n_probe]
-                for r, c in enumerate(order):
-                    rows["vec_id"].append(ids[i])
-                    rows["cell"].append(ci[c])
-                    rows["probe_rank"].append(r)
-                    rows["vec"].append(pdf[vec_col].iloc[i])
-            yield pd.DataFrame(rows)
+            # cos desc, cid asc — same total order as the SQL twin's
+            # row_number() OVER (ORDER BY ccos DESC, cid ASC): cids are
+            # collected ascending, so a STABLE argsort on -sims breaks
+            # ties toward the lower index = lower cid.  One batched sort
+            # over the whole sims matrix + a repeat-emit; no Python-level
+            # per-row loop (a full sort beats argpartition here because
+            # boundary ties must order exactly like the SQL twin).
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            rep = np.repeat(np.arange(len(ids)), n_probe)
+            yield pd.DataFrame({
+                "vec_id": ids[rep],
+                "cell": ci[order.ravel()],
+                "probe_rank": np.tile(
+                    np.arange(n_probe, dtype=np.int32), len(ids)),
+                "vec": pdf[vec_col].take(rep).reset_index(drop=True)})
 
     return df.select(id_col, vec_col).mapInPandas(
         assign, schema=assign_schema)

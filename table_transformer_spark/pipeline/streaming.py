@@ -225,6 +225,9 @@ def dedup_event_stream(spark: SparkSession, events_dir: str, event_schema,
         deduped = stream.dropDuplicates(key_cols)
     else:
         deduped = (stream.withWatermark("ts", watermark)
-                   # the event-time column must be part of the state key
+                   # unlike watermarked dropDuplicates, the event-time
+                   # column stays OUT of the key set here — the API
+                   # exists precisely so state can expire by watermark
+                   # while dedup is on the business keys alone
                    .dropDuplicatesWithinWatermark(key_cols))
     return deduped.select(*key_cols)

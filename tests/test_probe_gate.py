@@ -118,7 +118,7 @@ def test_telemetry_shape():
     t = g.telemetry()
     assert set(t) == {"enabled", "threshold_sec", "multi_threshold_sec",
                       "rejected_samples", "waited_attempts", "probe_walls",
-                      "mid_run_load_excess"}
+                      "mid_run_load_excess", "samples"}
 
 
 def test_subprocess_probe_pair_measures_host():
@@ -163,3 +163,44 @@ def test_load_monitor_thread_records_peak_excess(monkeypatch):
     _t.sleep(0.1)
     stop()
     assert abs(peak[0] - 5.5) < 1e-9
+
+def test_per_sample_attribution_records(monkeypatch):
+    """Every fn() invocation leaves one machine-readable record:
+    (label, attempt, wall, accepted) — so a bench headline can be
+    attributed to a specific gated sample without the stderr tail
+    (round-4 verdict, 'What's wrong #2')."""
+    # sample 1: pre ok, post slow -> rejected; retry accepted
+    _patch_probes(monkeypatch, [0.4, 2.0, 0.4, 0.45])
+    g = _gate()
+    result, ok = g.run(lambda att: 3.14159, label="x")
+    assert ok
+    assert g.telemetry()["samples"] == [
+        {"label": "x", "attempt": 0, "accepted": False, "wall": 3.142},
+        {"label": "x", "attempt": 2, "accepted": True, "wall": 3.142},
+    ]
+
+
+def test_nonnumeric_sample_records_null_wall(monkeypatch):
+    _patch_probes(monkeypatch, [0.4, 0.45])
+    g = _gate()
+    g.run(lambda att: ("tuple", att), label="x")
+    [s] = g.telemetry()["samples"]
+    assert s["wall"] is None and s["accepted"]
+
+
+def test_stale_carry_expires(monkeypatch):
+    """A trailing probe carried across gate.run() calls expires after
+    carry_max_age: minutes of un-probed work may run between calls
+    (bench.py's full query pass), so a minutes-old verdict says
+    nothing about the current window (round-4 ADVICE)."""
+    _patch_probes(monkeypatch, [0.4, 0.45, 0.5, 0.5])
+    fake_now = [1000.0]
+    monkeypatch.setattr(pg.time, "monotonic", lambda: fake_now[0])
+    g = _gate(carry_max_age=60.0)
+    _, ok1 = g.run(lambda att: 1, label="a")
+    fake_now[0] += 300.0  # five minutes of query-pass work
+    _, ok2 = g.run(lambda att: 2, label="b")
+    assert ok1 and ok2
+    # the stale carry was dropped: run 2 took a FRESH leading probe,
+    # so 2 samples cost 4 probes, not the shared-boundary 3
+    assert len(g.probes) == 4

