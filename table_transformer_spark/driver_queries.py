@@ -578,17 +578,53 @@ def _planted_nd_doc_rows():
     return rows
 
 
+_ND_PLANT_PATH: str | None = None
+
+
+def _planted_nd_docs_parquet() -> str:
+    """Materialize the planted near-dup slice as a parquet file ONCE
+    per process and return its path.
+
+    A round-5 interleaved A/B (probes healthy on both brackets,
+    BASELINE.md) attributed ~0.6s of the simhash wall to unioning a
+    driver-local relation into the parquet scan: the union of a
+    LocalTableScan with a file scan costs an extra stage every run.
+    Reading the plant as a SECOND PATH of the same parquet scan keeps
+    the plan a single FileScan — the plant costs one tiny parquet write
+    per process instead of a per-run union.  Columns mirror the
+    documents table so the multi-path read needs no schema merging."""
+    global _ND_PLANT_PATH
+    if _ND_PLANT_PATH is None:
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = _planted_nd_doc_rows()
+        d = tempfile.mkdtemp(prefix="ttspark_nd_plant_")
+        path = os.path.join(d, "plant.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([None] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }), path)
+        _ND_PLANT_PATH = path
+    return _ND_PLANT_PATH
+
+
 def q_simhash_neardup_pairs(spark, sf_dir):
     """SimHash near-dup pairs — pandas-UDF md5-based signature,
     pigeonhole-banded candidate join, exact Hamming post-filter.
     k=3 is the classic near-dup radius (4 bands × 16 bits).  Input is
-    documents ∪ the planted near-dup slice (see above)."""
+    documents ∪ the planted near-dup slice (see above), read as one
+    multi-path parquet scan so the plant adds no union stage."""
     from .operators.dedup import simhash_neardup_pairs
-    docs = (load(spark, sf_dir, "documents")
-            .select("doc_id", "text", "source")
-            .unionByName(spark.createDataFrame(
-                _planted_nd_doc_rows(),
-                schema="doc_id long, text string, source string")))
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet",
+                               _planted_nd_docs_parquet())
+            .select("doc_id", "text", "source"))
     return simhash_neardup_pairs(docs, "doc_id", "text", "source",
                                  max_hamming=3)
 
@@ -770,24 +806,50 @@ emb AS (
 )"""
 
 
+_DUP_VEC_PLANT_PATH: str | None = None
+
+
+def _planted_dup_vecs_parquet() -> str:
+    """The planted vector slice as a once-per-process parquet file —
+    same rationale as :func:`_planted_nd_docs_parquet`: a second path
+    on the existing parquet scan costs nothing per run, where a
+    LocalTableScan union costs an extra stage every run.  float32
+    round-trip is exact (all components are dyadic multiples of 2⁻⁷)."""
+    global _DUP_VEC_PLANT_PATH
+    if _DUP_VEC_PLANT_PATH is None:
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = _planted_dup_vec_rows()
+        d = tempfile.mkdtemp(prefix="ttspark_vec_plant_")
+        path = os.path.join(d, "plant.parquet")
+        pq.write_table(pa.table({
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([None] * len(rows), pa.int32()),
+        }), path)
+        _DUP_VEC_PLANT_PATH = path
+    return _DUP_VEC_PLANT_PATH
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate candidates (dedup family): pairs
     sharing any sign-bit band key with cosine above threshold.  Input
-    is embeddings ∪ the planted jittered-duplicate slice: the synthetic
+    is embeddings ∪ the planted jittered-duplicate slice (one
+    multi-path parquet scan — no union stage): the synthetic
     embeddings are near-orthogonal (max pairwise cos ≈ 0.51, no shared
     band), so without the plant both engines would agree on the empty
     set — the threshold stays low so real-vector candidates (if any
     band collides) are exercised too."""
-    from pyspark.sql import types as T
-
     from .operators.similarity import embedding_neardup_pairs
-    planted_schema = T.StructType([
-        T.StructField("vec_id", T.LongType()),
-        T.StructField("embedding", T.ArrayType(T.FloatType())),
-    ])
-    emb = (load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-           .unionByName(spark.createDataFrame(_planted_dup_vec_rows(),
-                                              planted_schema)))
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet",
+                              _planted_dup_vecs_parquet())
+           .select("vec_id", "embedding"))
     return embedding_neardup_pairs(emb, "vec_id", "embedding",
                                    threshold=0.35)
 
