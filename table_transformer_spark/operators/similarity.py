@@ -96,6 +96,10 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
             f"{max_index_rows}; use lsh_bucketed_topk for large corpora")
     ids = np.array([r[0] for r in index_rows], dtype=np.int64)
     mat = np.array([list(r[1]) for r in index_rows], dtype=np.float64)
+    # index sorted by id ONCE so a stable argsort on -sims breaks
+    # cos ties toward the lower neighbor_id (the kernel's total order)
+    by_id = np.argsort(ids, kind="stable")
+    ids, mat = ids[by_id], mat[by_id]
     norms = np.sqrt((mat * mat).sum(axis=1))
     bc = df.sparkSession.sparkContext.broadcast((ids, mat, norms))
 
@@ -113,22 +117,46 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
             q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             q_norms = np.sqrt((q * q).sum(axis=1))
             sims = (q @ b_mat.T) / (q_norms[:, None] * b_norms[None, :])
-            rows = {"vec_id": [], "neighbor_id": [], "rank": [], "cos": []}
-            for i in range(len(q_ids)):
-                s = sims[i]
-                mask = b_ids != q_ids[i]
-                # order: cos desc, neighbor_id asc (stable tie-break)
-                cand = np.lexsort((b_ids[mask], -s[mask]))
-                sel_ids = b_ids[mask][cand[:k]]
-                sel_cos = s[mask][cand[:k]]
-                for r, (nid, c) in enumerate(zip(sel_ids, sel_cos), 1):
-                    rows["vec_id"].append(q_ids[i])
-                    rows["neighbor_id"].append(nid)
-                    rows["rank"].append(r)
-                    rows["cos"].append(round(float(c), 6))
-            yield pd.DataFrame(rows)
+            yield _emit_topk(q_ids, b_ids, sims, k)
 
     return df.select(id_col, vec_col).mapInPandas(topk, schema=schema)
+
+
+def _emit_topk(q_ids, b_ids, sims, k: int, round_cos: bool = True):
+    """Batched top-k emit shared by the brute-force and IVF per-cell
+    kernels: order = cos desc, neighbor_id asc; self-pairs excluded.
+
+    ``b_ids`` MUST be sorted ascending — a STABLE argsort on -sims then
+    breaks cos ties toward the lower index = lower neighbor_id, so the
+    whole batch sorts in ONE numpy call (no Python-level per-query
+    loop).  Self-pairs are pushed to the tail with -inf; because -inf
+    sorts strictly last, surviving neighbors are a prefix of each row,
+    and a boolean filter drops the padding after the flatten.
+
+    ``round_cos=False`` emits RAW cosines for callers that re-rank
+    globally before rounding at the edge (the IVF nprobe>1 path, where
+    sub-1e-6 differences must order exactly like the SQL twin)."""
+    import numpy as np
+    import pandas as pd
+
+    n_q = len(q_ids)
+    k_eff = min(k, sims.shape[1]) if sims.size else 0
+    if not n_q or not k_eff:
+        return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                             "neighbor_id": pd.Series(dtype=np.int64),
+                             "rank": pd.Series(dtype=np.int32),
+                             "cos": pd.Series(dtype=np.float64)})
+    masked = np.where(b_ids[None, :] == q_ids[:, None], -np.inf, sims)
+    order = np.argsort(-masked, axis=1, kind="stable")[:, :k_eff]
+    sel_cos = np.take_along_axis(masked, order, axis=1).ravel()
+    keep = sel_cos != -np.inf
+    sel_cos = sel_cos[keep]
+    return pd.DataFrame({
+        "vec_id": np.repeat(q_ids, k_eff)[keep],
+        "neighbor_id": b_ids[order.ravel()][keep],
+        "rank": np.tile(np.arange(1, k_eff + 1, dtype=np.int32),
+                        n_q)[keep],
+        "cos": np.round(sel_cos, 6) if round_cos else sel_cos})
 
 
 def lsh_bucket_key(vec: Column, dims=DEFAULT_SIGN_DIMS) -> Column:
@@ -423,29 +451,25 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
     ])
 
     def cell_topk(key, pdf):
-        # index side: home vectors only; query side: every probe row
+        # index side: home vectors only; query side: every probe row.
+        # One batched matmul + one batched argsort via _emit_topk (raw
+        # cos — rounding happens at the edge, after the global re-rank)
         idx = pdf[pdf["probe_rank"] == 0]
         ids_i = idx["vec_id"].to_numpy(dtype=np.int64)
         ids_q = pdf["vec_id"].to_numpy(dtype=np.int64)
-        rows = {"vec_id": [], "neighbor_id": [], "rank": [], "cos": []}
-        if len(ids_i):
-            mat_i = np.array([list(v) for v in idx["vec"]],
-                             dtype=np.float64)
-            mat_q = np.array([list(v) for v in pdf["vec"]],
-                             dtype=np.float64)
-            norm_i = np.sqrt((mat_i * mat_i).sum(axis=1))
-            norm_q = np.sqrt((mat_q * mat_q).sum(axis=1))
-            sims = (mat_q @ mat_i.T) / (norm_q[:, None] * norm_i[None, :])
-            for i in range(len(ids_q)):
-                mask = ids_i != ids_q[i]
-                cand = np.lexsort((ids_i[mask], -sims[i][mask]))
-                for r, ci in enumerate(cand[:k], 1):
-                    rows["vec_id"].append(ids_q[i])
-                    rows["neighbor_id"].append(ids_i[mask][ci])
-                    rows["rank"].append(r)
-                    rows["cos"].append(float(sims[i][mask][ci]))
-        return pd.DataFrame(rows) if rows["vec_id"] else pd.DataFrame(
-            {f.name: pd.Series(dtype=object) for f in out_schema})
+        if not len(ids_i) or not len(ids_q):
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in out_schema})
+        by_id = np.argsort(ids_i, kind="stable")  # tie-break order
+        ids_i = ids_i[by_id]
+        mat_i = np.array([list(v) for v in idx["vec"]],
+                         dtype=np.float64)[by_id]
+        mat_q = np.array([list(v) for v in pdf["vec"]],
+                         dtype=np.float64)
+        norm_i = np.sqrt((mat_i * mat_i).sum(axis=1))
+        norm_q = np.sqrt((mat_q * mat_q).sum(axis=1))
+        sims = (mat_q @ mat_i.T) / (norm_q[:, None] * norm_i[None, :])
+        return _emit_topk(ids_q, ids_i, sims, k, round_cos=False)
 
     local = assigned.groupBy("cell").applyInPandas(
         cell_topk, schema=out_schema)

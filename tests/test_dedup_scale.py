@@ -345,15 +345,16 @@ def test_join_back_rejects_duplicate_ids(spark):
     assert sorted((r.doc1, r.doc2) for r in out) == [(0, 1), (0, 1)]
 
 
-def test_ivf_assign_kernel_has_no_per_row_python_loop():
-    """The nprobe>1 assignment path must stay batched (one stable
-    argsort over the sims matrix + a repeat-emit): a per-vector Python
-    loop inside the Arrow kernel is the exact anti-pattern the repo
-    bans elsewhere (round-4 verdict, 'What's wrong #1')."""
+def test_similarity_kernels_have_no_per_row_python_loop():
+    """Every similarity kernel must stay batched (stable argsort over
+    the sims matrix + repeat/tile emits): a per-vector Python loop
+    inside an Arrow kernel is the exact anti-pattern the repo bans
+    elsewhere (round-4 verdict, 'What's wrong #1').  Scans the whole
+    module so a future kernel can't quietly reintroduce one."""
     import inspect
 
     from table_transformer_spark.operators import similarity
 
-    src = inspect.getsource(similarity._ivf_assign)
+    src = inspect.getsource(similarity)
     assert "for i in range" not in src
     assert "iterrows" not in src
