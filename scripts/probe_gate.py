@@ -205,10 +205,13 @@ class ProbeGate:
             return fn(0), True
 
         def record(result, accepted: bool, attempt: int) -> None:
+            wall = result
+            if isinstance(result, dict):  # scaling_bench submit() dicts
+                wall = result.get("wall_sec")
             self.samples.append({
                 "label": label, "attempt": attempt, "accepted": accepted,
-                "wall": (round(float(result), 3)
-                         if isinstance(result, (int, float)) else None)})
+                "wall": (round(float(wall), 3)
+                         if isinstance(wall, (int, float)) else None)})
 
         tolerance = float(os.environ.get("PROBE_LOAD_TOLERANCE", "4.0"))
         result, have_result = None, False

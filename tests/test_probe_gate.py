@@ -204,3 +204,13 @@ def test_stale_carry_expires(monkeypatch):
     # the stale carry was dropped: run 2 took a FRESH leading probe,
     # so 2 samples cost 4 probes, not the shared-boundary 3
     assert len(g.probes) == 4
+
+def test_dict_sample_records_wall_sec(monkeypatch):
+    """scaling_bench's fn returns a submit() result dict — the sample
+    record pulls wall_sec out of it so scaling telemetry is attributable
+    the same way bench.py's numeric walls are."""
+    _patch_probes(monkeypatch, [0.4, 0.45])
+    g = _gate()
+    g.run(lambda att: {"wall_sec": 195.207, "n_spans": 1}, label="s")
+    [s] = g.telemetry()["samples"]
+    assert s["wall"] == 195.207 and s["accepted"]
