@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "minhash_band_buckets",
     "ngram_jaccard_pairs",
     "simhash_neardup_pairs",
+    "neardup_clusters",
+    "dedup_keep_canonical",
+    "dedup_survivors",
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
     "token_count",

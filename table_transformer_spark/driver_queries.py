@@ -564,10 +564,21 @@ JOIN sizes s2 ON s2.doc = doc2
 # ---------------------------------------------------------------------------
 
 def _planted_nd_doc_rows():
-    """10 planted doc pairs in one block: pairs 0-5 are identical twins
-    (Hamming 0 — guaranteed recall), pairs 6-9 differ in their final
-    token (small nonzero Hamming, included iff <= max_hamming — both
-    engines decide identically from the same signatures)."""
+    """10 planted doc pairs + a 4-doc chain, all in one block.
+
+    Pairs 0-5 are identical twins (Hamming 0 — guaranteed recall);
+    pairs 6-9 differ in their final token (small nonzero Hamming,
+    included iff <= max_hamming — both engines decide identically from
+    the same signatures).
+
+    The chain (ids -21..-24) exists for the clustering oracles: four
+    docs where each differs from the next by one substituted token,
+    chosen offline (md5-simhash search) so ADJACENT signatures sit at
+    Hamming 2 while every SKIP distance is 4 — under the k=3 radius
+    the pair graph contains exactly the path edges, so connected
+    components must propagate labels across 3 hops (a single-join
+    "clustering" would split it).  Verified to share no <=3 edge with
+    the twin docs above."""
     rows = []
     for p in range(10):
         base = (f"planted near duplicate corpus entry {p} alpha bravo "
@@ -575,6 +586,12 @@ def _planted_nd_doc_rows():
         twin = base if p < 6 else base[: -len("juliet")] + "kilo"
         rows.append((-(2 * p + 1), base, "planted_nd"))
         rows.append((-(2 * p + 2), twin, "planted_nd"))
+    chain = ("planted chain corpus entry alpha bravo charlie delta "
+             "echo foxtrot golf hotel india juliet kilo lima").split()
+    for i, sub in enumerate((None, "flint", "tango", "papa")):
+        if sub is not None:
+            chain[-i] = sub  # i=1 → last token, i=2 → second-last, …
+        rows.append((-(21 + i), " ".join(chain), "planted_nd"))
     return rows
 
 
@@ -683,6 +700,139 @@ SELECT a.doc AS doc1, b.doc AS doc2,
 FROM sigs a JOIN sigs b ON a.block = b.block AND a.doc < b.doc
 WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
+
+
+def q_neardup_clusters(spark, sf_dir):
+    """Near-dup cluster assignment: simhash pairs → connected
+    components (min-label propagation over DataFrame joins).  The
+    planted chain (-21..-24, path edges only) forces the labels to
+    propagate across 3 hops, so the oracle is non-vacuous for the
+    multi-round path, not just isolated pair edges."""
+    from .operators.dedup import connected_components
+    cc = connected_components(q_simhash_neardup_pairs(spark, sf_dir),
+                              "doc1", "doc2")
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+# min-reachable-id per node via a recursive CTE — the declarative twin
+# of the propagation loop (DuckDB enumerates reachable labels; the
+# GROUP BY min collapses them to the component representative)
+ORACLE_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_SIMHASH_NEARDUP_PAIRS}),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+"""
+
+
+def q_dedup_keep_canonical(spark, sf_dir):
+    """The actionable end of the dedup pipeline: pairs → clusters →
+    one keeper per cluster (max n_chars, ties to the smallest id).
+    Input docs are the same multi-path scan the pair query reads, so
+    every clustered id resolves."""
+    from .operators.dedup import connected_components, keep_canonical
+    cc = connected_components(q_simhash_neardup_pairs(spark, sf_dir),
+                              "doc1", "doc2")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet",
+                               _planted_nd_docs_parquet())
+            .select("doc_id", "n_chars"))
+    return keep_canonical(docs, cc, "doc_id", "n_chars")
+
+
+ORACLE_DEDUP_KEEP_CANONICAL = f"""
+WITH RECURSIVE pairs AS ({ORACLE_SIMHASH_NEARDUP_PAIRS}),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b
+),
+cc AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+all_docs AS (
+  SELECT doc_id, n_chars FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {{ND_NCHARS}}) v(doc_id, n_chars)
+),
+ranked AS (
+  SELECT cc.cluster_id, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM cc JOIN all_docs d ON d.doc_id = cc.node
+)
+SELECT cluster_id,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+       count(*) AS n_members
+FROM ranked GROUP BY cluster_id
+""".replace("{ND_NCHARS}", ",\n    ".join(
+    f"(CAST({i} AS BIGINT), CAST({len(t)} AS BIGINT))"
+    for i, t, _s in _planted_nd_doc_rows()))
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """The dedup pipeline's end product: the corpus anti-joined
+    against the drop-list (clustered nodes minus their cluster's
+    keeper).  Covers the full chain pairs → components → keepers →
+    survivors in one plan; the planted twins/chain guarantee the
+    drop-list is non-empty so the anti-join is exercised, not
+    vacuously passed through."""
+    from .operators.dedup import (
+        connected_components,
+        dedup_survivors,
+        keep_canonical,
+    )
+    cc = connected_components(q_simhash_neardup_pairs(spark, sf_dir),
+                              "doc1", "doc2")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet",
+                               _planted_nd_docs_parquet())
+            .select("doc_id", "source", "n_chars"))
+    keepers = keep_canonical(docs, cc, "doc_id", "n_chars")
+    return (dedup_survivors(docs, cc, keepers, "doc_id")
+            .select("doc_id", "source"))
+
+
+ORACLE_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE pairs AS ({ORACLE_SIMHASH_NEARDUP_PAIRS}),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION
+  SELECT doc2 AS a, doc1 AS b FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.label FROM edges e JOIN walk w ON w.node = e.b
+),
+cc AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node),
+all_docs AS (
+  SELECT doc_id, source, n_chars FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {{ND_ROWS}}) v(doc_id, source, n_chars)
+),
+ranked AS (
+  SELECT cc.cluster_id, d.doc_id,
+         row_number() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM cc JOIN all_docs d ON d.doc_id = cc.node
+)
+SELECT doc_id, source FROM all_docs
+WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+""".replace("{ND_ROWS}", ",\n    ".join(
+    f"(CAST({i} AS BIGINT), '{s}', CAST({len(t)} AS BIGINT))"
+    for i, t, s in _planted_nd_doc_rows()))
 
 
 def q_cosine_topk_bruteforce(spark, sf_dir):
@@ -2207,6 +2357,9 @@ QUERIES = {
     "minhash_band_buckets": q_minhash_band_buckets,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "neardup_clusters": q_neardup_clusters,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
+    "dedup_survivors": q_dedup_survivors,
     "cosine_topk_bruteforce": q_cosine_topk_bruteforce,
     "cosine_topk_lsh": q_cosine_topk_lsh,
     "embedding_neardup": q_embedding_neardup,
@@ -2258,6 +2411,9 @@ ORACLES = {
     "minhash_band_buckets": ORACLE_MINHASH_BAND_BUCKETS,
     "ngram_jaccard_pairs": ORACLE_NGRAM_JACCARD_PAIRS,
     "simhash_neardup_pairs": ORACLE_SIMHASH_NEARDUP_PAIRS,
+    "neardup_clusters": ORACLE_NEARDUP_CLUSTERS,
+    "dedup_keep_canonical": ORACLE_DEDUP_KEEP_CANONICAL,
+    "dedup_survivors": ORACLE_DEDUP_SURVIVORS,
     "cosine_topk_bruteforce": ORACLE_COSINE_TOPK_BRUTEFORCE,
     "cosine_topk_lsh": ORACLE_COSINE_TOPK_LSH,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,

@@ -358,3 +358,79 @@ def test_similarity_kernels_have_no_per_row_python_loop():
     src = inspect.getsource(similarity)
     assert "for i in range" not in src
     assert "iterrows" not in src
+
+
+# ---------------------------------------------------------------------------
+# connected components + canonical keeper (the dedup resolution stage)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_multi_hop_path(spark):
+    # path 4-3-2-1 (min at one end: 3 propagation hops) + isolated pair
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc1 long, doc2 long")
+    from table_transformer_spark.operators.dedup import connected_components
+    got = {(r.node, r.cluster_id)
+           for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_merges_components(spark):
+    # two blobs bridged by one edge → a single component
+    edges = spark.createDataFrame(
+        [(5, 6), (6, 7), (20, 21), (21, 22), (7, 20)],
+        "doc1 long, doc2 long")
+    from table_transformer_spark.operators.dedup import connected_components
+    labels = {r.node: r.cluster_id
+              for r in connected_components(edges).collect()}
+    assert set(labels.values()) == {5}
+    assert len(labels) == 6
+
+
+def test_connected_components_raises_without_convergence(spark):
+    # a 5-node path needs >1 round; max_iter=1 must refuse, not return
+    # partial labels
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc1 long, doc2 long")
+    from table_transformer_spark.operators.dedup import connected_components
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(edges, max_iter=1)
+
+
+def test_keep_canonical_quality_then_min_id(spark):
+    from table_transformer_spark.operators.dedup import (
+        connected_components,
+        keep_canonical,
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc1 long, doc2 long")
+    cc = connected_components(edges)
+    # cluster {1,2,3}: doc 2 has max quality → keeper;
+    # cluster {10,11}: tie on quality → min id 10 keeps
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 70), (10, 40), (11, 40), (999, 1000)],
+        "doc_id long, n_chars long")
+    got = {(r.cluster_id, r.keep_id, r.n_members)
+           for r in keep_canonical(docs, cc).collect()}
+    # doc 999 is unclustered → absent (singletons need no resolution)
+    assert got == {(1, 2, 3), (10, 10, 2)}
+
+
+def test_dedup_survivors_keeps_keepers_and_unclustered(spark):
+    from table_transformer_spark.operators.dedup import (
+        connected_components,
+        dedup_survivors,
+        keep_canonical,
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc1 long, doc2 long")
+    cc = connected_components(edges)
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 70), (10, 40), (11, 40), (999, 1000)],
+        "doc_id long, n_chars long")
+    keepers = keep_canonical(docs, cc)
+    got = {r.doc_id
+           for r in dedup_survivors(docs, cc, keepers).collect()}
+    # keepers (2, 10) survive, non-keepers (1, 3, 11) drop, the
+    # unclustered 999 passes through untouched
+    assert got == {2, 10, 999}
