@@ -416,6 +416,68 @@ def test_keep_canonical_quality_then_min_id(spark):
     assert got == {(1, 2, 3), (10, 10, 2)}
 
 
+def test_connected_components_star_deep_path(spark):
+    # a 200-node path has diameter 199: propagation at its default 25
+    # rounds must refuse; the star variant labels it in O(log²) rounds
+    from table_transformer_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc1 long, doc2 long")
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(edges)
+    labels = {r.node: r.cluster_id
+              for r in connected_components_star(edges).collect()}
+    assert len(labels) == 201
+    assert set(labels.values()) == {0}
+
+
+def test_connected_components_star_matches_propagation(spark):
+    import random
+
+    from table_transformer_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+    rng = random.Random(7)
+    # 30 shallow blobs of 2-6 nodes each, ids shuffled so component
+    # minima land on arbitrary positions
+    ids = list(range(1000, 1150))
+    rng.shuffle(ids)
+    edges, i = [], 0
+    while i + 1 < len(ids):
+        size = rng.randint(2, 6)
+        blob = ids[i:i + size]
+        edges += [(blob[j], blob[rng.randint(0, j - 1)])
+                  for j in range(1, len(blob))]
+        i += size
+    df = spark.createDataFrame(edges, "doc1 long, doc2 long")
+    prop = {(r.node, r.cluster_id)
+            for r in connected_components(df).collect()}
+    star = {(r.node, r.cluster_id)
+            for r in connected_components_star(df).collect()}
+    assert prop == star
+
+
+def test_connected_components_ignore_self_pairs(spark):
+    # degenerate self-pairs never come from a pair-finder; both
+    # variants must ignore them identically rather than inventing
+    # singleton clusters
+    from table_transformer_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+    edges = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 2)], "doc1 long, doc2 long")
+    want = {(1, 1), (2, 1)}
+    got_p = {(r.node, r.cluster_id)
+             for r in connected_components(edges).collect()}
+    got_s = {(r.node, r.cluster_id)
+             for r in connected_components_star(edges).collect()}
+    assert got_p == want and got_s == want
+
+
 def test_dedup_survivors_keeps_keepers_and_unclustered(spark):
     from table_transformer_spark.operators.dedup import (
         connected_components,
