@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "repetition_filters",
     "ivf_topk",
     "ivf_topk_nprobe2",
+    "ivf_train_codebook",
     "embedding_neardup",
     "salted_join_agg",
     "dedup_event_stream",

@@ -1975,6 +1975,83 @@ SELECT cell, count(*) AS n_vecs FROM assigned GROUP BY cell
 """
 
 
+def q_ivf_train_codebook(spark, sf_dir):
+    """Distributed spherical k-means codebook training (2 Lloyd's
+    iterations, 8 cells) + a final membership pass — the "trained
+    offline" IVF step as a Spark job.  Output is the trained codebook
+    with per-cell member counts; centroid components rounded to 1e-6
+    in BOTH engines so the driver's value-hash tolerates the engines'
+    differing float-summation orders (ulp-level) without weakening the
+    parity (any assignment or update divergence shifts components by
+    far more than 1e-6)."""
+    from .operators.similarity import ivf_cell_stats, train_ivf_codebook
+    emb = load(spark, sf_dir, "embeddings")
+    cb = train_ivf_codebook(emb, "vec_id", "embedding",
+                            n_cells=8, n_iter=2)
+    stats = ivf_cell_stats(emb, "vec_id", "embedding",
+                           n_cells=8, codebook=cb)
+    return (cb.join(stats, cb.cid == stats.cell, "left")
+            .select("cid",
+                    F.coalesce("n_vecs", F.lit(0)).cast("long")
+                    .alias("n_members"),
+                    F.expr("transform(cvec, x -> round(x, 6))")
+                    .alias("cvec_r")))
+
+
+_KM_ASSIGN = """
+  SELECT vec_id, u, cid AS cell FROM (
+    SELECT uv.vec_id, uv.u, c.cid,
+           row_number() OVER (PARTITION BY uv.vec_id
+                              ORDER BY list_dot_product(uv.u, c.cv)
+                                       DESC, c.cid ASC) AS rn
+    FROM uv CROSS JOIN {cents} c) WHERE rn = 1
+"""
+
+_KM_UPDATE = """
+m{i} AS (
+  SELECT cell, pos, avg(val) AS mv FROM (
+    SELECT cell, unnest(u) AS val, generate_subscripts(u, 1) AS pos
+    FROM a{i})
+  GROUP BY cell, pos
+),
+l{i} AS (SELECT cell, list(mv ORDER BY pos) AS lv FROM m{i}
+         GROUP BY cell),
+c{i} AS (
+  SELECT p.cid,
+         CASE WHEN l{i}.lv IS NULL THEN p.cv
+              ELSE list_transform(
+                  l{i}.lv,
+                  x -> x / sqrt(list_dot_product(l{i}.lv, l{i}.lv)))
+         END AS cv
+  FROM c{prev} p LEFT JOIN l{i} ON l{i}.cell = p.cid
+)
+"""
+
+ORACLE_IVF_TRAIN_CODEBOOK = f"""
+WITH uv AS (
+  SELECT vec_id,
+         list_transform(
+             embedding::DOUBLE[],
+             x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]))) AS u
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cid, u AS cv FROM uv ORDER BY vec_id LIMIT 8
+),
+a1 AS ({_KM_ASSIGN.format(cents='c0')}),
+{_KM_UPDATE.format(i=1, prev=0)},
+a2 AS ({_KM_ASSIGN.format(cents='c1')}),
+{_KM_UPDATE.format(i=2, prev=1)},
+a3 AS ({_KM_ASSIGN.format(cents='c2')}),
+members AS (SELECT cell, count(*) AS n_members FROM a3 GROUP BY cell)
+SELECT c2.cid,
+       COALESCE(members.n_members, 0) AS n_members,
+       list_transform(c2.cv, x -> round(x, 6)) AS cvec_r
+FROM c2 LEFT JOIN members ON members.cell = c2.cid
+"""
+
+
 def q_salted_join_agg(spark, sf_dir):
     """Explicit hot-key salting: events (5 event types → every key is
     hot) salted-joined to a per-type dimension, then aggregated.
@@ -2385,6 +2462,7 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "ivf_topk_nprobe2": q_ivf_topk_nprobe2,
     "ivf_cell_stats": q_ivf_cell_stats,
+    "ivf_train_codebook": q_ivf_train_codebook,
     "salted_join_agg": q_salted_join_agg,
     "canonicalize_tables": q_canonicalize_tables,
     "grits_planted_perturbation": q_grits_planted_perturbation,
@@ -2439,6 +2517,7 @@ ORACLES = {
     "ivf_topk": ORACLE_IVF_TOPK,
     "ivf_topk_nprobe2": ORACLE_IVF_TOPK_NPROBE2,
     "ivf_cell_stats": ORACLE_IVF_CELL_STATS,
+    "ivf_train_codebook": ORACLE_IVF_TRAIN_CODEBOOK,
     "salted_join_agg": ORACLE_SALTED_JOIN_AGG,
     "canonicalize_tables": ORACLE_CANONICALIZE_TABLES,
     "grits_planted_perturbation": ORACLE_GRITS_PLANTED_PERTURBATION,

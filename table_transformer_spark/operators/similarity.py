@@ -36,6 +36,7 @@ __all__ = [
     "lsh_bucket_stats",
     "embedding_neardup_pairs",
     "ivf_topk",
+    "train_ivf_codebook",
 ]
 
 # Two 12-bit bands over distinct dimension sets (64-dim embeddings).
@@ -483,3 +484,105 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
                  .filter(F.col("rank") <= k)
                  .select("vec_id", "neighbor_id", "rank", "cos"))
     return local.withColumn("cos", F.round("cos", 6))
+
+
+def train_ivf_codebook(df: DataFrame, id_col: str, vec_col: str,
+                       n_cells: int = 16, n_iter: int = 2) -> DataFrame:
+    """Distributed spherical k-means (Lloyd's) trainer for the IVF
+    codebook — the "trained offline" step :func:`_ivf_assign`'s
+    docstring promises, as a Spark job.
+
+    Each iteration is ONE narrow ``mapInPandas`` pass over the corpus:
+    every partition assigns its vectors to their max-cosine centroid
+    with a single BLAS matmul and emits PARTIAL ``(cell, count,
+    sum-of-unit-vectors)`` rows — the map-side combine — and the
+    driver reduces the ≤ ``n_partitions × n_cells`` tiny partials into
+    the next centroid matrix.  The corpus never crosses a shuffle; the
+    only data movement per iteration is ``O(partitions × n_cells ×
+    dim)`` floats.  This is the textbook scalable k-means shape (the
+    same partial-sum pattern MLlib uses), kept dependency-free and
+    cosine-metric to match the assignment kernel.
+
+    Deterministic: init = the ``n_cells`` lowest-id vectors (matching
+    :func:`_ivf_assign`'s default codebook), assignment ties break to
+    the lowest cid (stable argmax over ascending-cid centroids), and
+    partials reduce in (partition, cell) order so float sums associate
+    identically on every run.  Updates are spherical — mean of UNIT
+    vectors, re-normalized — and an empty cell keeps its previous
+    centroid.  Returns a ``(cid, cvec)`` codebook DataFrame that feeds
+    the ``codebook=`` parameter of :func:`ivf_topk` /
+    :func:`ivf_cell_stats`; cids are the init vector ids.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if n_cells > _MAX_CODEBOOK:
+        raise ValueError(
+            f"train_ivf_codebook: n_cells {n_cells} exceeds the "
+            f"{_MAX_CODEBOOK} broadcast bound")
+    init = (df.select(F.col(id_col).alias("cid"),
+                      F.col(vec_col).alias("cvec"))
+            .orderBy("cid").limit(n_cells).collect())
+    if len(init) < n_cells:
+        raise ValueError(
+            f"train_ivf_codebook: need {n_cells} init vectors, found "
+            f"{len(init)}")
+    cids = np.array([r["cid"] for r in init], dtype=np.int64)
+    cmat = np.array([list(r["cvec"]) for r in init], dtype=np.float64)
+    cmat = cmat / np.sqrt((cmat * cmat).sum(axis=1))[:, None]
+    k, dim = cmat.shape
+
+    part_schema = T.StructType([
+        T.StructField("pid", T.IntegerType()),
+        T.StructField("cell_ix", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("psum", T.ArrayType(T.DoubleType())),
+    ])
+    vecs = df.select(F.spark_partition_id().alias("pid"),
+                     F.col(vec_col).alias("v"))
+    sc = df.sparkSession.sparkContext
+    for _ in range(n_iter):
+        bc = sc.broadcast(cmat)
+
+        def partials(batches):
+            cm = bc.value
+            sums = np.zeros((k, dim))
+            cnts = np.zeros(k, dtype=np.int64)
+            pid = -1
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pid = int(pdf["pid"].iloc[0])
+                q = np.array([list(v) for v in pdf["v"]],
+                             dtype=np.float64)
+                q = q / np.sqrt((q * q).sum(axis=1))[:, None]
+                # stable first-max → lowest cid on ties (ascending cids)
+                cell = (q @ cm.T).argmax(axis=1)
+                np.add.at(sums, cell, q)
+                cnts += np.bincount(cell, minlength=k)
+            nz = np.flatnonzero(cnts)
+            if nz.size:
+                yield pd.DataFrame({
+                    "pid": np.full(nz.size, pid, dtype=np.int32),
+                    "cell_ix": nz.astype(np.int32),
+                    "cnt": cnts[nz],
+                    "psum": list(sums[nz])})
+
+        rows = vecs.mapInPandas(partials, part_schema).collect()
+        sums = np.zeros((k, dim))
+        cnts = np.zeros(k, dtype=np.int64)
+        # (pid, cell) order → float sums associate identically per run
+        for r in sorted(rows, key=lambda r: (r["pid"], r["cell_ix"])):
+            sums[r["cell_ix"]] += np.asarray(r["psum"])
+            cnts[r["cell_ix"]] += r["cnt"]
+        nz = cnts > 0
+        mean = np.where(nz[:, None],
+                        sums / np.maximum(cnts, 1)[:, None], cmat)
+        norm = np.sqrt((mean * mean).sum(axis=1))
+        norm[norm == 0] = 1.0
+        cmat = mean / norm[:, None]
+    return df.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in zip(cids, cmat)],
+        schema="cid long, cvec array<double>")

@@ -187,6 +187,48 @@ def test_ivf_topk_codebook_guard(spark):
         ivf_topk(df, "vec_id", "embedding", n_cells=4).collect()
 
 
+def test_train_ivf_codebook_converges_and_feeds_ivf(spark):
+    from table_transformer_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_codebook,
+    )
+
+    # two well-separated blobs around orthogonal axes: Lloyd's must
+    # pull the 2 lowest-id init vectors (both from blob A) apart so
+    # each blob owns one centroid
+    rows = []
+    for i in range(8):
+        rows.append((i * 2, [10.0, float(i % 3), 0.0, 0.0]))       # blob A
+        rows.append((i * 2 + 1, [0.0, 0.0, 10.0, float(i % 3)]))   # blob B
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = train_ivf_codebook(df, "vec_id", "embedding",
+                            n_cells=2, n_iter=3)
+    cents = {r.cid: list(r.cvec) for r in cb.collect()}
+    assert set(cents) == {0, 1}  # cids = init vector ids
+    # unit-norm centroids, one dominated by axis 0, the other by axis 2
+    import math
+    for v in cents.values():
+        assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-9)
+    axes = sorted(max(range(4), key=lambda i: abs(v[i]))
+                  for v in cents.values())
+    assert axes == [0, 2]
+    # the trained codebook drops straight into ivf_topk
+    got = ivf_topk(df, "vec_id", "embedding", n_cells=2, k=1,
+                   codebook=cb)
+    assert got.count() == 16
+
+
+def test_train_ivf_codebook_guards(spark):
+    from table_transformer_spark.operators.similarity import (
+        train_ivf_codebook,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="init vectors"):
+        train_ivf_codebook(df, "vec_id", "embedding", n_cells=4)
+
+
 def test_repetition_filters_short_docs_get_verdict(spark):
     from table_transformer_spark.operators.text_analysis import (
         repetition_filters,
