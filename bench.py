@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "cosine_topk_bruteforce",
     "cosine_topk_lsh",
     "token_count",
+    "tfidf_top_terms",
     "quality_features",
     "doc_fingerprints",
     "locate_table_cells",

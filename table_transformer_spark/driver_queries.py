@@ -1042,6 +1042,41 @@ FROM documents
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smoothed idf, ties to the
+    lexicographically first term).  The idf log runs on identical
+    integer (tf, df, N) inputs in both engines, so the doubles match
+    bit-for-bit and the 1e-6 rounding is belt-and-braces."""
+    from .operators.text_analysis import tfidf_top_terms
+    return tfidf_top_terms(load(spark, sf_dir, "documents"),
+                           "doc_id", "text", k=3)
+
+
+ORACLE_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id AS doc,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc, tf.term,
+         tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc, term, score,
+         row_number() OVER (PARTITION BY doc
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc, term, CAST(rank AS INT) AS rank, round(score, 6) AS score
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_quality_features(spark, sf_dir):
     from .operators.text_analysis import quality_features
     docs = load(spark, sf_dir, "documents").filter(
@@ -2441,6 +2476,7 @@ QUERIES = {
     "cosine_topk_lsh": q_cosine_topk_lsh,
     "embedding_neardup": q_embedding_neardup,
     "token_count": q_token_count,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "quality_features": q_quality_features,
     "lang_signal": q_lang_signal,
     "doc_fingerprints": q_doc_fingerprints,
@@ -2496,6 +2532,7 @@ ORACLES = {
     "cosine_topk_lsh": ORACLE_COSINE_TOPK_LSH,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "token_count": ORACLE_TOKEN_COUNT,
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "quality_features": ORACLE_QUALITY_FEATURES,
     "lang_signal": ORACLE_LANG_SIGNAL,
     "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,

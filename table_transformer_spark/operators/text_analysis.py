@@ -17,6 +17,7 @@ __all__ = [
     "lang_signal",
     "fingerprints",
     "repetition_filters",
+    "tfidf_top_terms",
 ]
 
 TOKEN_PATTERN = "[a-z]+|[0-9]+"
@@ -125,3 +126,44 @@ def repetition_filters(df: DataFrame, id_col: str, text_col: str,
                       <= max_dup_word_permille)
                      & (F.col("top_bigram_permille")
                         <= max_top_bigram_permille)).cast("int")))
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 3) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF — the
+    corpus-characterization stage of a training-data pipeline (what
+    is this document ABOUT, relative to the corpus).
+
+    Tokens are the module's BPE-ish runs (``TOKEN_PATTERN``,
+    lowercased); ``idf = ln((N+1)/(df+1))`` smoothed, ``score = tf ×
+    idf``; ties rank by term ascending so the output is deterministic.
+    Returns ``(doc, term, rank, score)`` with score rounded at the
+    edge.
+
+    Scale shape: the explode shuffles on the uniform ``(doc, term)``
+    key; the document-frequency aggregate is Zipf-skewed on hot terms
+    but moves only map-side-combined counts; the tf⋈idf equi-join is
+    on ``term`` (vocabulary-sized right side — AQE broadcasts it when
+    small, and its skew-join splitter handles hot terms when not);
+    the final top-k is one per-doc window.  The corpus text crosses
+    exactly one shuffle (the explode).  ``N`` is a driver-side scalar
+    ``count()`` — one metadata-cheap job, not a collect of rows.
+    """
+    toks = (df.select(F.col(id_col).alias("doc"),
+                      F.explode(F.regexp_extract_all(
+                          F.lower(F.col(text_col)),
+                          F.lit(TOKEN_PATTERN), F.lit(0))).alias("term")))
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.count()
+    scored = (tf.join(dfreq, "term")
+              .withColumn("score",
+                          F.col("tf") * F.log((F.lit(n_docs) + 1.0)
+                                              / (F.col("df") + 1.0))))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc").orderBy(F.col("score").desc(),
+                                          F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("doc", "term", "rank",
+                    F.round("score", 6).alias("score")))

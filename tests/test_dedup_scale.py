@@ -187,6 +187,30 @@ def test_ivf_topk_codebook_guard(spark):
         ivf_topk(df, "vec_id", "embedding", n_cells=4).collect()
 
 
+def test_tfidf_top_terms_hand_computed(spark):
+    import math
+
+    from table_transformer_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    # 3 docs; "common" is in all (low idf), each doc has a private term
+    docs = spark.createDataFrame(
+        [(1, "common apple apple"),
+         (2, "common banana"),
+         (3, "common cherry cherry cherry")],
+        "doc_id long, text string")
+    got = {(r.doc, r.rank): (r.term, r.score)
+           for r in tfidf_top_terms(docs, "doc_id", "text", k=2).collect()}
+    idf1 = math.log(4.0 / 2.0)   # df=1 terms: ln((3+1)/(1+1))
+    assert got[(1, 1)] == ("apple", round(2 * idf1, 6))
+    assert got[(2, 1)] == ("banana", round(1 * idf1, 6))
+    assert got[(3, 1)] == ("cherry", round(3 * idf1, 6))
+    # "common" has idf ln(4/4) = 0 → score 0, always rank 2
+    for d in (1, 2, 3):
+        assert got[(d, 2)] == ("common", 0.0)
+
+
 def test_train_ivf_codebook_converges_and_feeds_ivf(spark):
     from table_transformer_spark.operators.similarity import (
         ivf_topk,
