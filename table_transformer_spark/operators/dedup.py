@@ -32,6 +32,8 @@ relation, which is orders of magnitude smaller than the corpus.
 # hints would stop pandas_udf from inferring the eval type of
 # simhash_udf.
 
+from typing import Iterator
+
 import numpy as np
 import pandas as pd
 
@@ -234,38 +236,70 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         .cast("int")))
 
 
+# token-hash memo bound: md5 is the kernel's hot loop and corpus
+# vocabulary is Zipfian, so a per-task memo turns almost every token
+# into a dict hit.  The cap keeps worker memory bounded on adversarial
+# vocabularies (clear-and-refill beats an LRU here: one wipe per 2^20
+# DISTINCT tokens is amortized noise, and correctness never depends on
+# the cache).
+_SIMHASH_CACHE_MAX = 1 << 20
+
+
 @F.pandas_udf(T.LongType())
-def simhash_udf(texts: pd.Series) -> pd.Series:
+def simhash_udf(texts_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """64-bit SimHash over whitespace tokens — vectorized numpy kernel.
 
     Per doc: hash each token to 64 bits (first 8 bytes of md5,
     big-endian — portable: any SQL engine reproduces it as the first 16
     hex chars of ``md5(tok)``), sum ±1 per bit position, take the sign
     bit-vector.  Empty docs get signature 0.
+
+    Iterator form so the token→hash memo is built once per task and the
+    per-bit vote sums run as ONE batched numpy pass (``add.reduceat``
+    over the flattened token stream, docs as contiguous segments)
+    instead of a per-doc Python loop over 64-column bit matrices.
     """
     import hashlib
 
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        if not isinstance(text, str):
-            out[i] = 0  # NULL text → signature 0, matching the oracle
-            continue
-        toks = text.lower().split()
-        if not toks:
-            out[i] = 0
-            continue
-        hs = np.array(
-            [int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
-                            "big", signed=False) for t in toks],
-            dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int32)
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig.astype(np.int64))
-    return pd.Series(out)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    one = np.uint64(1)
+    cache: dict = {}
+    for texts in texts_iter:
+        out = np.zeros(len(texts), dtype=np.int64)
+        flat: list = []       # token hashes, docs contiguous
+        counts: list = []     # tokens per non-empty doc
+        rows: list = []       # output row per non-empty doc
+        for i, text in enumerate(texts):
+            if not isinstance(text, str):
+                continue  # NULL text → signature 0, matching the oracle
+            toks = text.lower().split()
+            if not toks:
+                continue
+            if len(cache) > _SIMHASH_CACHE_MAX:
+                cache.clear()
+            get = cache.get
+            for t in toks:
+                h = get(t)
+                if h is None:
+                    h = int.from_bytes(
+                        hashlib.md5(t.encode()).digest()[:8],
+                        "big", signed=False)
+                    cache[t] = h
+                flat.append(h)
+            counts.append(len(toks))
+            rows.append(i)
+        if rows:
+            hs = np.array(flat, dtype=np.uint64)
+            bits = ((hs[:, None] >> shifts) & one).astype(np.int32)
+            n_toks = np.array(counts, dtype=np.int64)
+            starts = np.concatenate(
+                ([0], np.cumsum(n_toks)[:-1])).astype(np.intp)
+            ones_per_bit = np.add.reduceat(bits, starts, axis=0)
+            votes = 2 * ones_per_bit - n_toks[:, None]
+            sigs = ((votes > 0).astype(np.uint64) << shifts).sum(
+                axis=1, dtype=np.uint64)
+            out[np.array(rows, dtype=np.intp)] = sigs.astype(np.int64)
+        yield pd.Series(out)
 
 
 def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,

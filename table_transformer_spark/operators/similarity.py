@@ -53,6 +53,22 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def _vec_matrix(vecs):
+    """float64 matrix from a sequence/Series of fixed-length vectors.
+
+    ``np.stack`` over the per-row numpy views Arrow hands the kernel
+    (one C-level conversion per row instead of boxing every element
+    through a Python ``list``).  float32 → float64 widening is exact,
+    so the resulting values are bit-identical to the previous
+    ``list()``-based conversion — only faster."""
+    import numpy as np
+
+    rows = vecs.to_numpy() if hasattr(vecs, "to_numpy") else list(vecs)
+    if len(rows) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.stack(rows).astype(np.float64, copy=False)
+
+
 def cosine_expr(v1: Column, v2: Column) -> Column:
     """Cosine similarity of two array<float> columns, computed in double
     with left-to-right summation (portable across engines)."""
@@ -88,15 +104,18 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
     # (bounded probe/baseline) — refuse unbounded tables so it can't be
     # pointed at a corpus that belongs in lsh_bucketed_topk.  One
     # action: collect max+1 rows and check the length (a separate
-    # count() would scan the input twice).
-    index_rows = (df.select(id_col, vec_col)
-                  .limit(max_index_rows + 1).collect())
-    if len(index_rows) > max_index_rows:
+    # count() would scan the input twice).  Arrow toPandas, not
+    # row-pickling collect: the index payload is N×dim floats and the
+    # columnar path moves it without boxing every element (guide §6,
+    # "Arrow for driver transfers").
+    index_pdf = (df.select(id_col, vec_col)
+                 .limit(max_index_rows + 1).toPandas())
+    if len(index_pdf) > max_index_rows:
         raise ValueError(
             f"brute_force_topk index exceeds max_index_rows="
             f"{max_index_rows}; use lsh_bucketed_topk for large corpora")
-    ids = np.array([r[0] for r in index_rows], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in index_rows], dtype=np.float64)
+    ids = index_pdf[id_col].to_numpy(dtype=np.int64)
+    mat = _vec_matrix(index_pdf[vec_col])
     # index sorted by id ONCE so a stable argsort on -sims breaks
     # cos ties toward the lower neighbor_id (the kernel's total order)
     by_id = np.argsort(ids, kind="stable")
@@ -115,12 +134,21 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
         b_ids, b_mat, b_norms = bc.value
         for pdf in batches:
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            q = _vec_matrix(pdf[vec_col])
             q_norms = np.sqrt((q * q).sum(axis=1))
             sims = (q @ b_mat.T) / (q_norms[:, None] * b_norms[None, :])
             yield _emit_topk(q_ids, b_ids, sims, k)
 
-    return df.select(id_col, vec_col).mapInPandas(topk, schema=schema)
+    # The probe side must be SPREAD before the kernel: the input is one
+    # compact parquet file, so without an explicit repartition the whole
+    # N×N scoring runs as a single task on one core (the r5 regression —
+    # 55s single-threaded at 20k×20k).  Width follows defaultParallelism
+    # (scale-adaptive, never a hard-coded core count); each task scores
+    # its slice against the shared broadcast index, so the split changes
+    # nothing about any row's result.
+    from ..partitioning import widen_for_cpu
+    return widen_for_cpu(df.select(id_col, vec_col), id_col).mapInPandas(
+        topk, schema=schema)
 
 
 def _emit_topk(q_ids, b_ids, sims, k: int, round_cos: bool = True):
@@ -148,7 +176,39 @@ def _emit_topk(q_ids, b_ids, sims, k: int, round_cos: bool = True):
                              "rank": pd.Series(dtype=np.int32),
                              "cos": pd.Series(dtype=np.float64)})
     masked = np.where(b_ids[None, :] == q_ids[:, None], -np.inf, sims)
-    order = np.argsort(-masked, axis=1, kind="stable")[:, :k_eff]
+    n_idx = masked.shape[1]
+    if k_eff >= n_idx:
+        # degenerate: every neighbor selected — the full stable sort is
+        # the cheapest exact answer
+        order = np.argsort(-masked, axis=1, kind="stable")[:, :k_eff]
+    else:
+        # top-k via np.partition (O(n) per row) instead of a full
+        # O(n log n) stable argsort — the sort was the kernel's hot
+        # spot once the matmul batched.  Exact tie semantics are kept
+        # by construction, not by sort stability: per row, take every
+        # index with cos STRICTLY above the k-th value (there are < k
+        # of them, ordered by cos desc then index asc), then fill the
+        # remaining slots with the LOWEST indices among the ties at
+        # the k-th value (flatnonzero returns them ascending, and
+        # ascending index = ascending neighbor_id because b_ids is
+        # sorted).  Identical output to the stable argsort for every
+        # input, including duplicated vectors and -inf self-pads.
+        kth = -np.partition(-masked, k_eff - 1, axis=1)[:, k_eff - 1]
+        order = np.empty((n_q, k_eff), dtype=np.intp)
+        for i in range(n_q):
+            row = masked[i]
+            if np.isnan(kth[i]):
+                # fewer than k_eff comparable values (NaN cos from a
+                # zero-norm vector) — the stable sort reproduces the
+                # old NaN-last emit order exactly for this rare row
+                order[i] = np.argsort(-row, kind="stable")[:k_eff]
+                continue
+            gt = np.flatnonzero(row > kth[i])
+            if len(gt) > 1:
+                gt = gt[np.lexsort((gt, -row[gt]))]
+            eq = np.flatnonzero(row == kth[i])[:k_eff - len(gt)]
+            order[i, :len(gt)] = gt
+            order[i, len(gt):] = eq
     sel_cos = np.take_along_axis(masked, order, axis=1).ravel()
     keep = sel_cos != -np.inf
     sel_cos = sel_cos[keep]
@@ -339,7 +399,7 @@ def _ivf_assign(df: DataFrame, id_col: str, vec_col: str,
             "(a degenerate codebook re-quadratics the per-cell search — "
             "train/choose a full one)")
     cids = np.array([r["cid"] for r in cents], dtype=np.int64)
-    cmat = np.array([list(r["cvec"]) for r in cents], dtype=np.float64)
+    cmat = _vec_matrix([r["cvec"] for r in cents])
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
     bc = df.sparkSession.sparkContext.broadcast((cids, cmat, cnorm))
 
@@ -354,7 +414,7 @@ def _ivf_assign(df: DataFrame, id_col: str, vec_col: str,
     def assign(batches):
         ci, cm, cn = bc.value
         for pdf in batches:
-            q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            q = _vec_matrix(pdf[vec_col])
             qn = np.sqrt((q * q).sum(axis=1))
             sims = (q @ cm.T) / (qn[:, None] * cn[None, :])
             ids = pdf[id_col].to_numpy(dtype=np.int64)
@@ -383,7 +443,12 @@ def _ivf_assign(df: DataFrame, id_col: str, vec_col: str,
                     np.arange(n_probe, dtype=np.int32), len(ids)),
                 "vec": pdf[vec_col].take(rep).reset_index(drop=True)})
 
-    return df.select(id_col, vec_col).mapInPandas(
+    # Spread the assignment kernel like the brute-force probe side: the
+    # compact parquet input is otherwise a single task, serializing the
+    # per-batch matmuls on one core.  Per-row output is independent of
+    # the partitioning, so results are unchanged.
+    from ..partitioning import widen_for_cpu
+    return widen_for_cpu(df.select(id_col, vec_col), id_col).mapInPandas(
         assign, schema=assign_schema)
 
 
@@ -463,10 +528,8 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
                 {f.name: pd.Series(dtype=object) for f in out_schema})
         by_id = np.argsort(ids_i, kind="stable")  # tie-break order
         ids_i = ids_i[by_id]
-        mat_i = np.array([list(v) for v in idx["vec"]],
-                         dtype=np.float64)[by_id]
-        mat_q = np.array([list(v) for v in pdf["vec"]],
-                         dtype=np.float64)
+        mat_i = _vec_matrix(idx["vec"])[by_id]
+        mat_q = _vec_matrix(pdf["vec"])
         norm_i = np.sqrt((mat_i * mat_i).sum(axis=1))
         norm_q = np.sqrt((mat_q * mat_q).sum(axis=1))
         sims = (mat_q @ mat_i.T) / (norm_q[:, None] * norm_i[None, :])
@@ -530,7 +593,7 @@ def train_ivf_codebook(df: DataFrame, id_col: str, vec_col: str,
             f"train_ivf_codebook: need {n_cells} init vectors, found "
             f"{len(init)}")
     cids = np.array([r["cid"] for r in init], dtype=np.int64)
-    cmat = np.array([list(r["cvec"]) for r in init], dtype=np.float64)
+    cmat = _vec_matrix([r["cvec"] for r in init])
     cmat = cmat / np.sqrt((cmat * cmat).sum(axis=1))[:, None]
     k, dim = cmat.shape
 
@@ -555,8 +618,7 @@ def train_ivf_codebook(df: DataFrame, id_col: str, vec_col: str,
                 if not len(pdf):
                     continue
                 pid = int(pdf["pid"].iloc[0])
-                q = np.array([list(v) for v in pdf["v"]],
-                             dtype=np.float64)
+                q = _vec_matrix(pdf["v"])
                 q = q / np.sqrt((q * q).sum(axis=1))[:, None]
                 # stable first-max → lowest cid on ties (ascending cids)
                 cell = (q @ cm.T).argmax(axis=1)

