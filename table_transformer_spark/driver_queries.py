@@ -64,8 +64,15 @@ def q_revenue_by_nation(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
-    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    # orders is broadcast too (projected to its two join columns it is
+    # ~tens of MB): the lineitem side then never shuffles — the plan is
+    # scan → three broadcast hash joins → partial agg → 25-row exchange.
+    # Size estimates after projection routinely miss the 10 MB auto
+    # threshold, so the hint is explicit (guide §3.1); at cluster scale
+    # an orders-side this size still broadcasts comfortably.
+    return (li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+                    li.l_orderkey == F.col("o_orderkey"))
+            .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
             .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
             .groupBy("n_name")
             .agg(F.round(F.sum(F.col("l_extendedprice")
@@ -171,20 +178,40 @@ ORDER BY cid
 
 
 def q_argmax_slot_assignment(spark, sf_dir):
-    """slot_into_containers as an argmax window: each package goes to the
+    """slot_into_containers as an argmax: each package goes to the
     container holding its largest fraction, ties to the lower container
-    id (src/postprocess.py:208-248)."""
+    id (src/postprocess.py:208-248).
+
+    r6 plan: the strips are an arithmetic partition of the x-axis, so a
+    package of width 10 overlaps exactly the strips
+    ``floor(px/125) .. floor((px+9)/125)`` (≤ 2, consecutive; ov > 0 ⇔
+    cid in that range — boundary-touch gives ov = 0 and is excluded by
+    the floor(px+9) bound).  Exploding those candidate cids turns the
+    former BroadcastNestedLoopJoin (every package × every strip
+    predicate eval) into a broadcast equi-join, and the per-package
+    argmax runs as one max-of-struct aggregation — (overlap, -cid) max
+    ≡ overlap desc, cid asc — instead of a row_number window, so the
+    shuffle needs no sort.  Integer arithmetic throughout; result
+    identical to the window formulation."""
     pkg = _packages(spark, sf_dir)
     con = _containers(spark)
+    cand = F.array_distinct(F.array(
+        F.floor(F.col("px") / 125).cast("int"),
+        F.floor((F.col("px") + 9) / 125).cast("int")))
     ov = (F.least(F.col("px") + 10, F.col("cx1"))
           - F.greatest(F.col("px"), F.col("cx0")))
-    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
-        F.col("overlap").desc(), F.col("cid").asc())
-    return (pkg.join(F.broadcast(con), ov > 0)
+    best = F.max(F.struct(F.col("overlap").alias("ov"),
+                          (-F.col("cid")).alias("negcid"))).alias("best")
+    return (pkg.select("l_orderkey", "l_linenumber", "px",
+                       F.explode(cand).alias("cid"))
+            .join(F.broadcast(con), "cid")
             .withColumn("overlap", ov)
-            .withColumn("rn", F.row_number().over(w))
-            .filter((F.col("rn") == 1) & (F.col("overlap") * 2 >= 10))
-            .select("l_orderkey", "l_linenumber", "cid", "overlap"))
+            .groupBy("l_orderkey", "l_linenumber")
+            .agg(best)
+            .filter(F.col("best.ov") * 2 >= 10)
+            .select("l_orderkey", "l_linenumber",
+                    (-F.col("best.negcid")).cast("int").alias("cid"),
+                    F.col("best.ov").alias("overlap")))
 
 
 ORACLE_ARGMAX_SLOT_ASSIGNMENT = f"""

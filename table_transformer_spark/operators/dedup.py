@@ -97,13 +97,70 @@ def minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
     if len(seeds) % n_bands:
         raise ValueError("len(seeds) must divide evenly into n_bands")
     rows_per_band = len(seeds) // n_bands
-    tokens = (_spread(df, id_col)
-              .select(F.col(id_col).alias("doc"),
-                      F.explode(F.split(F.lower(F.col(text_col)), " "))
-                      .alias("tok")))
-    aggs = [F.min(F.md5(F.concat(F.lit(s), F.col("tok")))).alias(f"mh{i}")
-            for i, s in enumerate(seeds)]
-    sigs = tokens.groupBy("doc").agg(*aggs)
+    seeds_t = tuple(seeds)
+
+    # Signature pass as an Arrow kernel instead of explode → 8×md5 →
+    # groupBy: the exploded relation is |tokens| rows and every row
+    # paid len(seeds) JVM md5 calls (≈ 8 × corpus token count), all to
+    # compute a per-doc MIN that a narrow pass gets for free.  The
+    # kernel hashes each DISTINCT token once per task (memoized row of
+    # len(seeds) hex digests; min over duplicates ≡ min over
+    # distincts), takes the column-wise min per doc with one numpy
+    # reduce over fixed-width '<U32' rows (ASCII hex, so numpy's
+    # code-point comparison ≡ the engines' lexicographic string
+    # order), and emits one (doc, mh0..mhK) row per document — the
+    # token stream never shuffles.  NULL text yields no row, exactly
+    # as the exploded path dropped it.
+    sig_schema = T.StructType(
+        [T.StructField("doc", df.schema[id_col].dataType)]
+        + [T.StructField(f"mh{i}", T.StringType())
+           for i in range(len(seeds_t))])
+
+    def sig_gen(batches):
+        import hashlib
+
+        tok_ix: dict = {}
+        hash_rows: list = []
+        hash_mat = None
+        for pdf in batches:
+            out_docs, out_sigs = [], []
+            for doc, text in zip(pdf["doc"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue
+                if len(tok_ix) > _SIMHASH_CACHE_MAX:
+                    tok_ix.clear()
+                    hash_rows.clear()
+                    hash_mat = None
+                ids = set()
+                for t in text.lower().split(" "):
+                    ix = tok_ix.get(t)
+                    if ix is None:
+                        ix = len(hash_rows)
+                        tok_ix[t] = ix
+                        hash_rows.append(
+                            [hashlib.md5((s + t).encode()).hexdigest()
+                             for s in seeds_t])
+                        hash_mat = None
+                    ids.add(ix)
+                if hash_mat is None:
+                    hash_mat = np.array(hash_rows, dtype="<U32")
+                sel = np.fromiter(ids, dtype=np.intp, count=len(ids))
+                out_docs.append(doc)
+                # column-wise string min via sort (numpy's min ufunc
+                # has no unicode loop); row 0 after an axis-0 sort is
+                # the per-seed lexicographic minimum
+                out_sigs.append(np.sort(hash_mat[sel], axis=0)[0])
+            sigs = (np.stack(out_sigs) if out_sigs
+                    else np.empty((0, len(seeds_t)), dtype="<U32"))
+            yield pd.DataFrame(
+                {"doc": pd.Series(out_docs, dtype="object"),
+                 **{f"mh{i}": sigs[:, i]
+                    for i in range(len(seeds_t))}})
+
+    sigs = (_spread(df, id_col)
+            .select(F.col(id_col).alias("doc"),
+                    F.col(text_col).alias("text"))
+            .mapInPandas(sig_gen, schema=sig_schema))
     bands = [F.struct(
         F.lit(b).alias("band_idx"),
         F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}")
@@ -323,10 +380,17 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str, text_col: str,
     """
     n_bands = max_hamming + 1
     bounds = [round(64 * i / n_bands) for i in range(n_bands + 1)]
-    sigs = _spread(df, id_col).select(
+    # localCheckpoint: the banded relation self-joins, and the join's
+    # build side is a BroadcastExchange — NOT a reusable shuffle — so
+    # without materialization the whole scan → repartition → signature
+    # kernel subtree executes once per join side (the r6 plan audit
+    # found two ArrowEvalPython nodes).  Checkpointing the slim
+    # (doc, block, sig) relation runs the kernel exactly once.
+    sigs = (_spread(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.col(block_col).alias("block"),
         simhash_udf(F.col(text_col)).alias("sig"))
+        .localCheckpoint(eager=False))
     band_structs = []
     for i in range(n_bands):
         lo, hi = bounds[i], bounds[i + 1]
@@ -397,8 +461,14 @@ def connected_components(pairs: DataFrame, src: str = "doc1",
     sym = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
            .distinct()
            .localCheckpoint(eager=True))
-    labels = (sym.select(F.col("a").alias("node")).distinct()
-              .withColumn("label", F.col("node"))
+    # init fused with round 1: with every label starting as its own
+    # node id, the first propagation round computes exactly
+    # least(node, min(neighbour ids)) — so seed the loop with that
+    # aggregate directly (one groupBy over the checkpointed edges, no
+    # join) and save a full join+checkpoint round every run
+    labels = (sym.groupBy("a").agg(F.min("b").alias("nbr0"))
+              .select(F.col("a").alias("node"),
+                      F.least(F.col("a"), F.col("nbr0")).alias("label"))
               .localCheckpoint(eager=True))
     for _ in range(max_iter):
         nbr = (sym.join(labels.select(F.col("node").alias("b"),

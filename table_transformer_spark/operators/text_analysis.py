@@ -85,47 +85,74 @@ def repetition_filters(df: DataFrame, id_col: str, text_col: str,
     * ``keep`` applies the thresholds (defaults in the Gopher
       ballpark).
 
-    One explode + two-level aggregation: shuffles on (doc, bigram) then
-    doc — both uniform keys, map-side combined, no joins.
+    One narrow Arrow kernel, zero shuffles: every signal is a per-doc
+    statistic, so exploding |tokens| bigram rows through two
+    aggregation exchanges only to re-collapse them per doc moved the
+    whole token stream across the wire for nothing (guide §2.4 —
+    remove shuffles outright).  The kernel computes the exact same
+    integer arithmetic per doc (duplicate counts via a dict, floor of
+    the same float64 divisions both engines use) and emits one row per
+    document directly.
     """
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    m = F.greatest(F.size(toks) - 1, F.lit(0))
-    bigrams = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
-                         lambda x, y: F.concat_ws(" ", x, y))
-    # keep the tokenize/shingle pass wide on compacted inputs
+    import math
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("doc", df.schema[id_col].dataType),
+        T.StructField("n_words", T.LongType()),
+        T.StructField("dup_word_permille", T.LongType()),
+        T.StructField("top_bigram_permille", T.LongType()),
+        T.StructField("keep", T.IntegerType()),
+    ])
+
+    def signals(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            docs_, nw_, dup_, top_, keep_ = [], [], [], [], []
+            for doc, text in zip(pdf["doc"], pdf["text"]):
+                docs_.append(doc)
+                if not isinstance(text, str):
+                    # NULL text: the column-algebra path emitted
+                    # (NULL, NULL, 0, NULL) for such rows
+                    nw_.append(None)
+                    dup_.append(None)
+                    top_.append(0)
+                    keep_.append(None)
+                    continue
+                toks = text.lower().split(" ")
+                nw = len(toks)
+                dup = math.floor((nw - len(set(toks))) * 1000 / nw)
+                if nw >= 2:
+                    counts: dict = {}
+                    prev = toks[0]
+                    for t in toks[1:]:
+                        key = (prev, t)
+                        counts[key] = counts.get(key, 0) + 1
+                        prev = t
+                    top = math.floor(max(counts.values()) * 1000
+                                     / (nw - 1))
+                else:
+                    top = 0
+                nw_.append(nw)
+                dup_.append(dup)
+                top_.append(top)
+                keep_.append(int(dup <= max_dup_word_permille
+                                 and top <= max_top_bigram_permille))
+            yield pd.DataFrame({
+                "doc": pd.Series(docs_, dtype="object"),
+                "n_words": pd.Series(nw_, dtype="object"),
+                "dup_word_permille": pd.Series(dup_, dtype="object"),
+                "top_bigram_permille": pd.Series(top_, dtype="object"),
+                "keep": pd.Series(keep_, dtype="object")})
+
+    # keep the tokenize pass wide on compacted inputs
     from ..partitioning import widen_for_cpu
-    df = widen_for_cpu(df, id_col)
-    # explode_outer keeps sub-bigram docs as a single null-bigram row,
-    # so EVERY doc gets a verdict from one pass over the input (a
-    # union of a short-doc branch would scan the corpus twice)
-    base = df.select(F.col(id_col).alias("doc"),
-                     F.size(toks).alias("n_words"),
-                     F.size(F.array_distinct(toks)).alias("n_distinct"),
-                     F.explode_outer(bigrams).alias("bigram"))
-    per_bigram = (base.groupBy("doc", "n_words", "n_distinct", "bigram")
-                  .agg(F.count(F.lit(1)).alias("c")))
-    real = F.col("bigram").isNotNull()
-    per_doc = (per_bigram.groupBy("doc", "n_words", "n_distinct")
-               .agg(F.max(F.when(real, F.col("c")).otherwise(0))
-                    .alias("top_bigram_count"),
-                    F.sum(F.when(real, F.col("c")).otherwise(0))
-                    .alias("n_bigrams")))
-    dup_word = F.floor((F.col("n_words") - F.col("n_distinct")) * 1000
-                       / F.col("n_words")).cast("long")
-    top_bigram = F.when(
-        F.col("n_bigrams") > 0,
-        F.floor(F.col("top_bigram_count") * 1000 / F.col("n_bigrams"))
-    ).otherwise(0).cast("long")
-    return (per_doc.select(
-        "doc",
-        F.col("n_words").cast("long").alias("n_words"),
-        dup_word.alias("dup_word_permille"),
-        top_bigram.alias("top_bigram_permille"))
-        .withColumn("keep",
-                    ((F.col("dup_word_permille")
-                      <= max_dup_word_permille)
-                     & (F.col("top_bigram_permille")
-                        <= max_top_bigram_permille)).cast("int")))
+    return (widen_for_cpu(df, id_col)
+            .select(F.col(id_col).alias("doc"),
+                    F.col(text_col).alias("text"))
+            .mapInPandas(signals, schema=out_schema))
 
 
 def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
@@ -149,11 +176,51 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
     exactly one shuffle (the explode).  ``N`` is a driver-side scalar
     ``count()`` — one metadata-cheap job, not a collect of rows.
     """
-    toks = (df.select(F.col(id_col).alias("doc"),
-                      F.explode(F.regexp_extract_all(
-                          F.lower(F.col(text_col)),
-                          F.lit(TOKEN_PATTERN), F.lit(0))).alias("term")))
-    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Term frequencies computed in one narrow Arrow kernel: tf is a
+    # per-doc statistic, so the explode → groupBy(doc, term) exchange
+    # shuffled the whole token stream only to re-group rows that were
+    # already doc-contiguous (guide §2.3 — aggregate before you
+    # shuffle; here the map side finishes the aggregation).  Python
+    # re.findall over the same pattern yields the same token runs;
+    # counts are exact integers.  localCheckpoint because the tf
+    # relation feeds BOTH the df aggregate and the score join — as a
+    # narrow kernel output it would otherwise be computed twice
+    # (same pattern as ngram_jaccard_pairs).
+    import re
+
+    from pyspark.sql import types as T
+
+    tf_schema = T.StructType([
+        T.StructField("doc", df.schema[id_col].dataType),
+        T.StructField("term", T.StringType()),
+        T.StructField("tf", T.LongType()),
+    ])
+    pat = re.compile(TOKEN_PATTERN)
+
+    def tf_gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            docs_, terms_, tfs_ = [], [], []
+            for doc, text in zip(pdf["doc"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue  # NULL text exploded to no rows before
+                counts: dict = {}
+                for t in pat.findall(text.lower()):
+                    counts[t] = counts.get(t, 0) + 1
+                docs_.extend([doc] * len(counts))
+                terms_.extend(counts.keys())
+                tfs_.extend(counts.values())
+            yield pd.DataFrame({"doc": pd.Series(docs_, dtype="object"),
+                                "term": pd.Series(terms_, dtype="object"),
+                                "tf": pd.Series(tfs_, dtype="int64")})
+
+    from ..partitioning import widen_for_cpu
+    tf = (widen_for_cpu(df, id_col)
+          .select(F.col(id_col).alias("doc"),
+                  F.col(text_col).alias("text"))
+          .mapInPandas(tf_gen, schema=tf_schema)
+          .localCheckpoint(eager=False))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.count()
     scored = (tf.join(dfreq, "term")
