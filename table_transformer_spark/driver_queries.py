@@ -178,40 +178,26 @@ ORDER BY cid
 
 
 def q_argmax_slot_assignment(spark, sf_dir):
-    """slot_into_containers as an argmax: each package goes to the
+    """slot_into_containers as an argmax window: each package goes to the
     container holding its largest fraction, ties to the lower container
     id (src/postprocess.py:208-248).
 
-    r6 plan: the strips are an arithmetic partition of the x-axis, so a
-    package of width 10 overlaps exactly the strips
-    ``floor(px/125) .. floor((px+9)/125)`` (≤ 2, consecutive; ov > 0 ⇔
-    cid in that range — boundary-touch gives ov = 0 and is excluded by
-    the floor(px+9) bound).  Exploding those candidate cids turns the
-    former BroadcastNestedLoopJoin (every package × every strip
-    predicate eval) into a broadcast equi-join, and the per-package
-    argmax runs as one max-of-struct aggregation — (overlap, -cid) max
-    ≡ overlap desc, cid asc — instead of a row_number window, so the
-    shuffle needs no sort.  Integer arithmetic throughout; result
-    identical to the window formulation."""
+    r6 note: an equi-join rewrite (arithmetic candidate strips +
+    max-of-struct aggregation, no sort) was built and A/B-measured
+    against this formulation — the window version won (1.9s vs 2.0-2.2s
+    at sf1.0; Spark 4's WindowGroupLimit already pre-prunes rn=1 before
+    the full sort), so the simpler plan stays."""
     pkg = _packages(spark, sf_dir)
     con = _containers(spark)
-    cand = F.array_distinct(F.array(
-        F.floor(F.col("px") / 125).cast("int"),
-        F.floor((F.col("px") + 9) / 125).cast("int")))
     ov = (F.least(F.col("px") + 10, F.col("cx1"))
           - F.greatest(F.col("px"), F.col("cx0")))
-    best = F.max(F.struct(F.col("overlap").alias("ov"),
-                          (-F.col("cid")).alias("negcid"))).alias("best")
-    return (pkg.select("l_orderkey", "l_linenumber", "px",
-                       F.explode(cand).alias("cid"))
-            .join(F.broadcast(con), "cid")
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        F.col("overlap").desc(), F.col("cid").asc())
+    return (pkg.join(F.broadcast(con), ov > 0)
             .withColumn("overlap", ov)
-            .groupBy("l_orderkey", "l_linenumber")
-            .agg(best)
-            .filter(F.col("best.ov") * 2 >= 10)
-            .select("l_orderkey", "l_linenumber",
-                    (-F.col("best.negcid")).cast("int").alias("cid"),
-                    F.col("best.ov").alias("overlap")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("overlap") * 2 >= 10))
+            .select("l_orderkey", "l_linenumber", "cid", "overlap"))
 
 
 ORACLE_ARGMAX_SLOT_ASSIGNMENT = f"""
@@ -1816,17 +1802,31 @@ def q_dedup_event_stream_watermark(spark, sf_dir):
             # explicit, strictly increasing mtimes pin batch order
             os.utime(path, (1_000_000 + b, 1_000_000 + b))
         name = f"dedup_wm_{uuid.uuid4().hex[:12]}"
-        q = (dedup_event_stream(
-                spark, replay,
-                "user_id long, event_type string, ts timestamp",
-                watermark="10 minutes", max_files_per_trigger=1)
-             .writeStream.outputMode("append").format("memory")
-             .queryName(name).trigger(availableNow=True).start())
-        if not q.awaitTermination(600):
-            q.stop()
-            raise TimeoutError(
-                "dedup_event_stream_watermark did not drain within 600s "
-                "— refusing to compare a partial memory table")
+        # Streaming state partitioning is pinned at query start (the
+        # offset log records numShufflePartitions) — AQE can never
+        # coalesce it — so size it to the replay's key throughput
+        # instead of inheriting the batch-oriented session default:
+        # each micro-batch otherwise schedules a full session-width
+        # wave of state-store tasks (commit + maintenance per
+        # partition per trigger) to dedup a handful of keys.  The key
+        # SET emitted is partitioning-independent; a production ingest
+        # sizes this to load the same way.
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (dedup_event_stream(
+                    spark, replay,
+                    "user_id long, event_type string, ts timestamp",
+                    watermark="10 minutes", max_files_per_trigger=1)
+                 .writeStream.outputMode("append").format("memory")
+                 .queryName(name).trigger(availableNow=True).start())
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError(
+                    "dedup_event_stream_watermark did not drain within "
+                    "600s — refusing to compare a partial memory table")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         return spark.table(name)
     finally:
         # the memory sink holds results driver-side; the replay files
@@ -2229,15 +2229,24 @@ def q_canonicalize_tables(spark, sf_dir):
     }
 
     # all six variants ride one scan: every cell struct is tagged with
-    # its table_num and the whole plant explodes in a single generate
+    # its table_num and the whole plant explodes in a single generate.
+    # The width-pinning exchange runs BEFORE the explode — it then
+    # moves one slim doc row instead of ~120 cell structs per doc, and
+    # the doc_id hash partitioning carries through the narrow explode
+    # to satisfy the grouped kernel's distribution directly
+    # (prepartitioned=True: no second exchange).
+    from table_transformer_spark.partitioning import widen_for_cpu
+
     tagged = [F.struct(F.lit(tnum).alias("table_num"), cell.alias("cell"))
               for tnum, cells in variants.items() for cell in cells]
-    inp = (docs.select(F.col("doc_id").cast("string").alias("doc_id"),
-                       F.explode(F.array(*tagged)).alias("tc"))
+    inp = (widen_for_cpu(
+               docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                           "text"), "doc_id")
+           .select("doc_id", F.explode(F.array(*tagged)).alias("tc"))
            .select("doc_id", F.lit("planted://canon").alias("media_ref"),
                    F.col("tc.table_num").alias("table_num"),
                    "tc.cell.*"))
-    out = canonicalize_cells_df(inp)
+    out = canonicalize_cells_df(inp, prepartitioned=True)
     # array columns serialized for the driver's pandas value hasher
     return out.select(
         "doc_id", "media_ref", "table_num", "cell_num",

@@ -103,17 +103,36 @@ def _kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def canonicalize_cells_df(cells: DataFrame) -> DataFrame:
+def _kernel_doc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-document dispatch: one Arrow group carries ALL of the doc's
+    tables and the per-table chain runs unchanged on each — grouped-map
+    ships one Arrow batch per GROUP, so grouping at doc level divides
+    that per-group overhead by the tables-per-doc factor while
+    producing the identical row set."""
+    parts = [_kernel((key[0], mr, tn), g)
+             for (mr, tn), g in pdf.groupby(["media_ref", "table_num"],
+                                            sort=True)]
+    return pd.concat(parts, ignore_index=True)
+
+
+def canonicalize_cells_df(cells: DataFrame,
+                          prepartitioned: bool = False) -> DataFrame:
     """CELL_SCHEMA rows → canonicalized cells + provenance, per table.
 
     Explicit widen before the grouped kernel: the canonicalize chain is
     CPU-bound per group while the rows are tiny, so AQE's byte-based
     coalescing would otherwise serialize every table into one task
-    (shared policy: ``partitioning.widen_for_cpu``)."""
+    (shared policy: ``partitioning.widen_for_cpu``).  The widen keys on
+    ``doc_id`` alone — a hash partitioning on a subset of the grouping
+    keys satisfies the grouped map's required distribution, so the
+    groupBy reuses it without a second exchange.  Callers that already
+    hash-partitioned their input by ``doc_id`` (e.g. by widening the
+    slim pre-explode relation, so the exchange moves docs instead of
+    cell structs) pass ``prepartitioned=True`` to skip the widen."""
     from ..partitioning import widen_for_cpu
-    return (widen_for_cpu(cells, "doc_id", "media_ref", "table_num")
-            .groupBy("doc_id", "media_ref", "table_num")
-            .applyInPandas(_kernel, schema=CANONICAL_SCHEMA))
+    spread = cells if prepartitioned else widen_for_cpu(cells, "doc_id")
+    return (spread.groupBy("doc_id")
+            .applyInPandas(_kernel_doc, schema=CANONICAL_SCHEMA))
 
 
 STANDARDIZED_SCHEMA = T.StructType([

@@ -236,10 +236,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # corpus scale) must never accumulate its full posting array inside
     # one reducer.  Plan:
     #
-    # 1. shingle ONCE, localCheckpoint the exploded gram relation
-    #    (eager=False; ContextCleaner frees the blocks) — one extra
-    #    local-disk pass, on par with the shuffle spill it sits next
-    #    to, in exchange for not running the Python tokenize twice;
+    # 1. shingle per consumer — the exploded relation feeds both the
+    #    hot-gram aggregate and the anti-join probe, and re-running the
+    #    (cheap, per-doc) tokenize kernel twice measured FASTER than
+    #    localCheckpointing the |grams| relation to local disk and
+    #    reading it back (r6 A/B: 2.8s vs 3.1s at sf1.0) — the kernel
+    #    is a narrow string pass while the checkpoint is a full
+    #    write+read of the widest relation in the plan;
     # 2. per-gram document frequency via count aggregation (map-side
     #    partial agg: O(1) state per key, the shuffled relation is one
     #    row per distinct gram), keep only the HOT side (df > max_df)
@@ -256,8 +259,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                 .select(F.col(id_col).alias("doc"),
                         F.col(block_col).alias("block"),
                         F.col(text_col).alias("text"))
-                .mapInPandas(shingle_gen, schema=out_schema)
-                .localCheckpoint(eager=False))
+                .mapInPandas(shingle_gen, schema=out_schema))
     hot_grams = (exploded.groupBy("block", "gram")
                  .agg(F.count(F.lit(1)).alias("df"))
                  .filter(F.col("df") > max_df)

@@ -52,34 +52,42 @@ LOCATED_SCHEMA = T.StructType([
 ])
 
 
-def _locate_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    rows = []
-    for rec in pdf.itertuples(index=False):
-        words = [{"text": w["text"],
-                  "bbox": [w["x0"], w["y0"], w["x1"], w["y1"]]}
-                 for w in rec.words]
-        cells = [{"xml_text_content": c["text"],
-                  "row_nums": list(c["row_nums"]),
-                  "column_nums": list(c["column_nums"])}
-                 for c in rec.cells]
-        cell_bboxes, _ = locate_table(words, cells)
-        for i, c in enumerate(cells):
-            bbox = (cell_bboxes or {}).get(i)
-            rows.append({
-                "doc_id": key[0], "table_num": int(key[1]), "cell_num": i,
-                "row_lo": min(c["row_nums"]), "row_hi": max(c["row_nums"]),
-                "col_lo": min(c["column_nums"]),
-                "col_hi": max(c["column_nums"]),
-                "x0": bbox[0] if bbox else None,
-                "y0": bbox[1] if bbox else None,
-                "x1": bbox[2] if bbox else None,
-                "y1": bbox[3] if bbox else None,
-            })
-    out = pd.DataFrame(rows)
-    if out.empty:
-        out = pd.DataFrame({f.name: pd.Series(dtype=object)
-                            for f in LOCATED_SCHEMA})
-    return out
+def _locate_rows(batches):
+    """Row-wise locate kernel: every input ROW is a complete table
+    (its words + cells ride the row as arrays), so this is a
+    ``mapInPandas`` pass — the former groupBy/applyInPandas added a
+    shuffle, a per-partition sort and one Arrow batch per table for a
+    grouping the rows already had (r6 plan audit)."""
+    for pdf in batches:
+        rows = []
+        for rec in pdf.itertuples(index=False):
+            words = [{"text": w["text"],
+                      "bbox": [w["x0"], w["y0"], w["x1"], w["y1"]]}
+                     for w in rec.words]
+            cells = [{"xml_text_content": c["text"],
+                      "row_nums": list(c["row_nums"]),
+                      "column_nums": list(c["column_nums"])}
+                     for c in rec.cells]
+            cell_bboxes, _ = locate_table(words, cells)
+            for i, c in enumerate(cells):
+                bbox = (cell_bboxes or {}).get(i)
+                rows.append({
+                    "doc_id": rec.doc_id, "table_num": int(rec.table_num),
+                    "cell_num": i,
+                    "row_lo": min(c["row_nums"]),
+                    "row_hi": max(c["row_nums"]),
+                    "col_lo": min(c["column_nums"]),
+                    "col_hi": max(c["column_nums"]),
+                    "x0": bbox[0] if bbox else None,
+                    "y0": bbox[1] if bbox else None,
+                    "x1": bbox[2] if bbox else None,
+                    "y1": bbox[3] if bbox else None,
+                })
+        out = pd.DataFrame(rows)
+        if out.empty:
+            out = pd.DataFrame({f.name: pd.Series(dtype=object)
+                                for f in LOCATED_SCHEMA})
+        yield out
 
 
 def _widen(df: DataFrame, *keys: str) -> DataFrame:
@@ -96,8 +104,8 @@ def locate_cells_df(tables_with_words: DataFrame) -> DataFrame:
     *cells*: ``array<struct<text,row_nums,column_nums>>``.
     """
     return (_widen(tables_with_words, "doc_id", "table_num")
-            .groupBy("doc_id", "table_num")
-            .applyInPandas(_locate_kernel, schema=LOCATED_SCHEMA))
+            .select("doc_id", "table_num", "words", "cells")
+            .mapInPandas(_locate_rows, schema=LOCATED_SCHEMA))
 
 
 CAPTION_SCHEMA = T.StructType([
@@ -110,32 +118,34 @@ CAPTION_SCHEMA = T.StructType([
 ])
 
 
-def _caption_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    rows = []
-    for rec in pdf.itertuples(index=False):
-        words = [{"text": w["text"],
-                  "bbox": [w["x0"], w["y0"], w["x1"], w["y1"]]}
-                 for w in rec.words]
-        bbox, inliers = locate_caption(words, rec.caption)
-        rows.append({
-            "doc_id": key[0], "n_inliers": len(inliers),
-            "x0": bbox[0] if bbox else None,
-            "y0": bbox[1] if bbox else None,
-            "x1": bbox[2] if bbox else None,
-            "y1": bbox[3] if bbox else None,
-        })
-    out = pd.DataFrame(rows)
-    if out.empty:
-        out = pd.DataFrame({f.name: pd.Series(dtype=object)
-                            for f in CAPTION_SCHEMA})
-    return out
+def _caption_rows(batches):
+    """Row-wise caption kernel — same rationale as :func:`_locate_rows`."""
+    for pdf in batches:
+        rows = []
+        for rec in pdf.itertuples(index=False):
+            words = [{"text": w["text"],
+                      "bbox": [w["x0"], w["y0"], w["x1"], w["y1"]]}
+                     for w in rec.words]
+            bbox, inliers = locate_caption(words, rec.caption)
+            rows.append({
+                "doc_id": rec.doc_id, "n_inliers": len(inliers),
+                "x0": bbox[0] if bbox else None,
+                "y0": bbox[1] if bbox else None,
+                "x1": bbox[2] if bbox else None,
+                "y1": bbox[3] if bbox else None,
+            })
+        out = pd.DataFrame(rows)
+        if out.empty:
+            out = pd.DataFrame({f.name: pd.Series(dtype=object)
+                                for f in CAPTION_SCHEMA})
+        yield out
 
 
 def locate_caption_df(pages_with_captions: DataFrame) -> DataFrame:
     """(doc_id, words, caption) → one hull row per doc."""
     return (_widen(pages_with_captions, "doc_id")
-            .groupBy("doc_id")
-            .applyInPandas(_caption_kernel, schema=CAPTION_SCHEMA))
+            .select("doc_id", "words", "caption")
+            .mapInPandas(_caption_rows, schema=CAPTION_SCHEMA))
 
 
 def _quirk_min(with_bbox: DataFrame, keys, idx_col: str,
