@@ -472,25 +472,35 @@ def connected_components(pairs: DataFrame, src: str = "doc1",
               .select(F.col("a").alias("node"),
                       F.least(F.col("a"), F.col("nbr0")).alias("label"))
               .localCheckpoint(eager=True))
-    for _ in range(max_iter):
-        nbr = (sym.join(labels.select(F.col("node").alias("b"),
-                                      F.col("label").alias("b_label")), "b")
+    def _step(lbl):
+        """One min-label propagation step (same relation shape in and
+        out: (node, label) plus any carried columns)."""
+        nbr = (sym.join(lbl.select(F.col("node").alias("b"),
+                                   F.col("label").alias("b_label")), "b")
                .groupBy("a").agg(F.min("b_label").alias("nbr_label")))
-        # keep old and new labels side by side in the checkpointed
-        # round result: the convergence check is then a local scan of
-        # materialized data, not a second join+shuffle per round
-        merged = (labels
-                  .join(nbr.select(F.col("a").alias("node"),
-                                   "nbr_label"), "node", "left")
-                  .select("node", "label",
-                          F.least(F.col("label"),
-                                  F.coalesce("nbr_label", "label"))
-                          .alias("new_label"))
-                  .localCheckpoint(eager=True))
-        # new_label = least(label, …) ⇒ strictly-less ⇔ changed
-        changed = (merged.filter(F.col("new_label") < F.col("label"))
+        return (lbl
+                .join(nbr.select(F.col("a").alias("node"), "nbr_label"),
+                      "node", "left")
+                .withColumn("label",
+                            F.least(F.col("label"),
+                                    F.coalesce("nbr_label", "label")))
+                .drop("nbr_label"))
+
+    for _ in range(max_iter):
+        # TWO propagation steps per checkpointed round: the per-round
+        # fixed cost (checkpoint job + convergence scan) dominates the
+        # tiny-relation joins, so composing two steps into one job
+        # halves the round count for the same reachability growth.
+        # The original label rides along as label0, so the convergence
+        # check still compares across the whole round on materialized
+        # data — no extra join or shuffle.
+        merged = (_step(_step(
+            labels.withColumn("label0", F.col("label"))))
+            .localCheckpoint(eager=True))
+        # labels only ever decrease ⇒ strictly-less ⇔ changed
+        changed = (merged.filter(F.col("label") < F.col("label0"))
                    .limit(1).count())
-        labels = merged.select("node", F.col("new_label").alias("label"))
+        labels = merged.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("cluster_id"))
     raise RuntimeError(

@@ -52,6 +52,14 @@ def run_cells(documents: DataFrame, media: DataFrame,
     # Explicit parallelism for the CPU-bound kernel stage (shared
     # policy: partitioning.widen_for_cpu — AQE's byte-based coalescing
     # would serialize this small-bytes/high-compute Python stage).
+    # r6 note: pinning the width on BOTH join inputs instead (so the
+    # join reuses the partitioning and the payload crosses one fewer
+    # exchange — the guide-§8 shape for two huge sides) was built and
+    # A/B-measured: at bench scale the media side broadcasts, so the
+    # pre-partitioned variant only ADDED two exchanges and a sort
+    # (median 3.76s vs 3.28s over 5 alternating reps at 8000 docs) —
+    # reverted; at true scale the pre-partitioned join is one
+    # `widen_for_cpu` on each side away.
     from ..partitioning import widen_for_cpu
     pages = widen_for_cpu(pages, "media_ref")
     if fused:
