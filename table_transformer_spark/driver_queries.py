@@ -64,15 +64,13 @@ def q_revenue_by_nation(spark, sf_dir):
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
-    # orders is broadcast too (projected to its two join columns it is
-    # ~tens of MB): the lineitem side then never shuffles — the plan is
-    # scan → three broadcast hash joins → partial agg → 25-row exchange.
-    # Size estimates after projection routinely miss the 10 MB auto
-    # threshold, so the hint is explicit (guide §3.1); at cluster scale
-    # an orders-side this size still broadcasts comfortably.
-    return (li.join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
-                    li.l_orderkey == F.col("o_orderkey"))
-            .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+    # r6 note: force-broadcasting projected orders (so lineitem never
+    # shuffles) was built and benched — no win at sf0.1 OR sf1.0 (the
+    # per-execution hash-relation build of ~1.5M keys costs what the
+    # shuffle saves at these sizes) and it pins driver memory if the
+    # driver escalates the scale factor, so the planner keeps the call.
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
             .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
             .groupBy("n_name")
             .agg(F.round(F.sum(F.col("l_extendedprice")

@@ -109,9 +109,12 @@ def _kernel_doc(key, pdf: pd.DataFrame) -> pd.DataFrame:
     ships one Arrow batch per GROUP, so grouping at doc level divides
     that per-group overhead by the tables-per-doc factor while
     producing the identical row set."""
+    # dropna=False: Spark's groupBy keeps NULL keys as a group, so the
+    # pandas dispatch must too (no such rows in current inputs — this
+    # pins the equivalence rather than relying on the data)
     parts = [_kernel((key[0], mr, tn), g)
              for (mr, tn), g in pdf.groupby(["media_ref", "table_num"],
-                                            sort=True)]
+                                            sort=True, dropna=False)]
     return pd.concat(parts, ignore_index=True)
 
 
