@@ -136,8 +136,16 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
             q = _vec_matrix(pdf[vec_col])
             q_norms = np.sqrt((q * q).sum(axis=1))
-            sims = (q @ b_mat.T) / (q_norms[:, None] * b_norms[None, :])
-            yield _emit_topk(q_ids, b_ids, sims, k)
+            # chunk the probe rows so the sims matrix stays bounded
+            # regardless of index size — with the kernel now running on
+            # every core concurrently, an unchunked rows×N float64
+            # matrix per worker would scale worker memory with the
+            # CORPUS, not the batch (per-row results are independent,
+            # so chunking changes nothing)
+            for lo, hi in _sims_chunks(len(q_ids), len(b_ids)):
+                sims = ((q[lo:hi] @ b_mat.T)
+                        / (q_norms[lo:hi, None] * b_norms[None, :]))
+                yield _emit_topk(q_ids[lo:hi], b_ids, sims, k)
 
     # The probe side must be SPREAD before the kernel: the input is one
     # compact parquet file, so without an explicit repartition the whole
@@ -285,6 +293,21 @@ def _join_vecs_back(cand: DataFrame, df: DataFrame, id_col: str,
     return (cand
             .join(va, F.col(left) == F.col("_vida")).drop("_vida")
             .join(vb, F.col(right) == F.col("_vidb")).drop("_vidb"))
+
+
+# Per-chunk budget for a kernel's rows×N float64 similarity matrix.
+# 128 MB ⇒ e.g. 838 probe rows against a 20k-vector index, 83 against
+# 200k — worker memory stays flat as the index grows while chunks stay
+# large enough for BLAS efficiency.
+_SIMS_CHUNK_BYTES = 128 << 20
+
+
+def _sims_chunks(n_rows: int, n_index: int,
+                 budget: int = _SIMS_CHUNK_BYTES):
+    """(lo, hi) row slices sized so rows×n_index float64 ≤ budget."""
+    step = max(1, budget // (8 * max(1, n_index)))
+    for lo in range(0, n_rows, step):
+        yield lo, min(n_rows, lo + step)
 
 
 def _pair_cos(pairs: DataFrame, left: str, right: str) -> DataFrame:
@@ -574,8 +597,18 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 1,
         mat_q = _vec_matrix(pdf["vec"])
         norm_i = np.sqrt((mat_i * mat_i).sum(axis=1))
         norm_q = np.sqrt((mat_q * mat_q).sum(axis=1))
-        sims = (mat_q @ mat_i.T) / (norm_q[:, None] * norm_i[None, :])
-        return _emit_topk(ids_q, ids_i, sims, k, round_cos=False)
+        # chunk the query rows like the brute-force kernel: a hot cell
+        # would otherwise allocate a |cell|² float64 sims matrix in one
+        # piece (per-query results are independent; identical output)
+        parts = [
+            _emit_topk(
+                ids_q[lo:hi], ids_i,
+                (mat_q[lo:hi] @ mat_i.T)
+                / (norm_q[lo:hi, None] * norm_i[None, :]),
+                k, round_cos=False)
+            for lo, hi in _sims_chunks(len(ids_q), len(ids_i))]
+        return parts[0] if len(parts) == 1 else pd.concat(
+            parts, ignore_index=True)
 
     local = assigned.groupBy("cell").applyInPandas(
         cell_topk, schema=out_schema)

@@ -438,6 +438,40 @@ def test_similarity_kernels_have_no_per_row_python_loop():
     assert "np.flatnonzero" in sel and "np.partition" in sel
 
 
+def test_sims_chunking_is_value_identical():
+    """The memory-bounded probe-row chunking in the brute-force / IVF
+    scoring kernels must produce exactly the rows of the unchunked
+    matrix path (per-probe-row independence), and chunk bounds must
+    tile [0, n) without gap or overlap."""
+    import numpy as np
+    import pandas as pd
+
+    from table_transformer_spark.operators.similarity import (
+        _emit_topk,
+        _sims_chunks,
+    )
+
+    spans = list(_sims_chunks(37, 29, budget=8 * 29 * 5))  # 5-row chunks
+    assert spans[0][0] == 0 and spans[-1][1] == 37
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal((37, 8))
+    b = rng.standard_normal((29, 8))
+    q_ids = np.arange(100, 137, dtype=np.int64)
+    b_ids = np.arange(110, 139, dtype=np.int64)  # overlaps q → self-pairs
+    qn = np.sqrt((q * q).sum(axis=1))
+    bn = np.sqrt((b * b).sum(axis=1))
+    sims = (q @ b.T) / (qn[:, None] * bn[None, :])
+    whole = _emit_topk(q_ids, b_ids, sims, 3)
+    parts = [
+        _emit_topk(q_ids[lo:hi], b_ids,
+                   (q[lo:hi] @ b.T) / (qn[lo:hi, None] * bn[None, :]), 3)
+        for lo, hi in _sims_chunks(37, 29, budget=8 * 29 * 5)]
+    chunked = pd.concat(parts, ignore_index=True)
+    pd.testing.assert_frame_equal(whole.reset_index(drop=True), chunked)
+
+
 def test_emit_topk_partition_selection_matches_stable_sort():
     """The np.partition-based top-k selection in ``_emit_topk`` must
     reproduce the old full-stable-argsort semantics exactly: cos desc,
