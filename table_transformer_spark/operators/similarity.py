@@ -143,8 +143,10 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
             # CORPUS, not the batch (per-row results are independent,
             # so chunking changes nothing)
             for lo, hi in _sims_chunks(len(q_ids), len(b_ids)):
-                sims = ((q[lo:hi] @ b_mat.T)
-                        / (q_norms[lo:hi, None] * b_norms[None, :]))
+                sims = q[lo:hi] @ b_mat.T
+                np.divide(sims,
+                          q_norms[lo:hi, None] * b_norms[None, :],
+                          out=sims)   # in place — same IEEE divide
                 yield _emit_topk(q_ids[lo:hi], b_ids, sims, k)
 
     # The probe side must be SPREAD before the kernel: the input is one
@@ -172,7 +174,14 @@ def _emit_topk(q_ids, b_ids, sims, k: int, round_cos: bool = True):
 
     ``round_cos=False`` emits RAW cosines for callers that re-rank
     globally before rounding at the edge (the IVF nprobe>1 path, where
-    sub-1e-6 differences must order exactly like the SQL twin)."""
+    sub-1e-6 differences must order exactly like the SQL twin).
+
+    NOTE: mutates ``sims`` in place (self-pair masking) — every caller
+    passes a freshly computed matrix.  The kernel is memory-bandwidth
+    bound, so it avoids full-matrix copies: self-pairs are located via
+    ``searchsorted`` on the (sorted) ``b_ids`` and overwritten in
+    place, and the k-th value comes from an in-place ``partition`` of
+    the one unavoidable negated copy."""
     import numpy as np
     import pandas as pd
 
@@ -183,7 +192,13 @@ def _emit_topk(q_ids, b_ids, sims, k: int, round_cos: bool = True):
                              "neighbor_id": pd.Series(dtype=np.int64),
                              "rank": pd.Series(dtype=np.int32),
                              "cos": pd.Series(dtype=np.float64)})
-    masked = np.where(b_ids[None, :] == q_ids[:, None], -np.inf, sims)
+    # in-place self-pair mask ≡ np.where(b_ids == q_id, -inf, sims):
+    # left/right searchsorted bounds handle duplicated index ids too
+    lo_ix = np.searchsorted(b_ids, q_ids, side="left")
+    hi_ix = np.searchsorted(b_ids, q_ids, side="right")
+    for i in np.flatnonzero(hi_ix > lo_ix):
+        sims[i, lo_ix[i]:hi_ix[i]] = -np.inf
+    masked = sims
     n_idx = masked.shape[1]
     if k_eff >= n_idx:
         # degenerate: every neighbor selected — the full stable sort is
@@ -201,7 +216,9 @@ def _emit_topk(q_ids, b_ids, sims, k: int, round_cos: bool = True):
         # ascending index = ascending neighbor_id because b_ids is
         # sorted).  Identical output to the stable argsort for every
         # input, including duplicated vectors and -inf self-pads.
-        kth = -np.partition(-masked, k_eff - 1, axis=1)[:, k_eff - 1]
+        neg = -masked
+        neg.partition(k_eff - 1, axis=1)   # in place — no second copy
+        kth = -neg[:, k_eff - 1]
         order = np.empty((n_q, k_eff), dtype=np.intp)
         for i in range(n_q):
             row = masked[i]
