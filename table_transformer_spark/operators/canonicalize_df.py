@@ -125,17 +125,27 @@ def canonicalize_cells_df(cells: DataFrame,
     Explicit widen before the grouped kernel: the canonicalize chain is
     CPU-bound per group while the rows are tiny, so AQE's byte-based
     coalescing would otherwise serialize every table into one task
-    (shared policy: ``partitioning.widen_for_cpu``).  The widen keys on
-    ``doc_id`` alone — a hash partitioning on a subset of the grouping
-    keys satisfies the grouped map's required distribution, so the
-    groupBy reuses it without a second exchange.  Callers that already
-    hash-partitioned their input by ``doc_id`` (e.g. by widening the
-    slim pre-explode relation, so the exchange moves docs instead of
-    cell structs) pass ``prepartitioned=True`` to skip the widen."""
+    (shared policy: ``partitioning.widen_for_cpu``).
+
+    Two grouping regimes:
+
+    * default — widen + group on the full (doc, media, table) key:
+      maximum spread, safe for table-heavy documents;
+    * ``prepartitioned=True`` — the caller has already hash-partitioned
+      the input by ``doc_id`` (e.g. by widening the slim pre-explode
+      relation so the exchange moves docs instead of cell structs) and
+      accepts doc-level grouping: one Arrow group per doc (per-group
+      overhead ÷ tables-per-doc, no second exchange because doc_id is
+      a subset of the implied clustering).  Only choose it when
+      documents are plentiful relative to cores — all of a doc's
+      tables then run in one task."""
+    if prepartitioned:
+        return (cells.groupBy("doc_id")
+                .applyInPandas(_kernel_doc, schema=CANONICAL_SCHEMA))
     from ..partitioning import widen_for_cpu
-    spread = cells if prepartitioned else widen_for_cpu(cells, "doc_id")
-    return (spread.groupBy("doc_id")
-            .applyInPandas(_kernel_doc, schema=CANONICAL_SCHEMA))
+    return (widen_for_cpu(cells, "doc_id", "media_ref", "table_num")
+            .groupBy("doc_id", "media_ref", "table_num")
+            .applyInPandas(_kernel, schema=CANONICAL_SCHEMA))
 
 
 STANDARDIZED_SCHEMA = T.StructType([

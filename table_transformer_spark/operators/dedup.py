@@ -119,48 +119,53 @@ def minhash_band_buckets(df: DataFrame, id_col: str, text_col: str,
     def sig_gen(batches):
         import hashlib
 
-        tok_ix: dict = {}
-        hash_rows: list = []
-        hash_mat = None
+        cache: dict = {}
         for pdf in batches:
-            out_docs, out_sigs = [], []
+            out_docs = []
+            out_cols: list = [[] for _ in seeds_t]
             for doc, text in zip(pdf["doc"], pdf["text"]):
                 if not isinstance(text, str):
                     continue
-                if len(tok_ix) > _SIMHASH_CACHE_MAX:
-                    tok_ix.clear()
-                    hash_rows.clear()
-                    hash_mat = None
-                ids = set()
+                if len(cache) > _SIMHASH_CACHE_MAX:
+                    cache.clear()
+                rows = []
+                seen = set()
                 for t in text.lower().split(" "):
-                    ix = tok_ix.get(t)
-                    if ix is None:
-                        ix = len(hash_rows)
-                        tok_ix[t] = ix
-                        hash_rows.append(
-                            [hashlib.md5((s + t).encode()).hexdigest()
-                             for s in seeds_t])
-                        hash_mat = None
-                    ids.add(ix)
-                if hash_mat is None:
-                    hash_mat = np.array(hash_rows, dtype="<U32")
-                sel = np.fromiter(ids, dtype=np.intp, count=len(ids))
+                    if t in seen:
+                        continue
+                    seen.add(t)
+                    h = cache.get(t)
+                    if h is None:
+                        h = tuple(
+                            hashlib.md5((s + t).encode()).hexdigest()
+                            for s in seeds_t)
+                        cache[t] = h
+                    rows.append(h)
                 out_docs.append(doc)
-                # column-wise string min via sort (numpy's min ufunc
-                # has no unicode loop); row 0 after an axis-0 sort is
-                # the per-seed lexicographic minimum
-                out_sigs.append(np.sort(hash_mat[sel], axis=0)[0])
-            sigs = (np.stack(out_sigs) if out_sigs
-                    else np.empty((0, len(seeds_t)), dtype="<U32"))
+                # per-seed lexicographic min over the doc's DISTINCT
+                # tokens (min over duplicates ≡ min over distincts);
+                # builtin min over the transposed tuples — O(doc
+                # tokens) per doc, no batch-global state to rebuild
+                for i, col in enumerate(zip(*rows)):
+                    out_cols[i].append(min(col))
             yield pd.DataFrame(
                 {"doc": pd.Series(out_docs, dtype="object"),
-                 **{f"mh{i}": sigs[:, i]
+                 **{f"mh{i}": pd.Series(out_cols[i], dtype="object")
                     for i in range(len(seeds_t))}})
 
+    # The trailing min-agg keeps the exploded path's EXACT semantics
+    # for duplicated ids: a doc id appearing on several rows gets ONE
+    # signature over the union of its rows' tokens (min of per-row
+    # minima ≡ min over the union).  With unique ids (the common case)
+    # the agg is a pass-through; either way it is a slim
+    # (doc, 8×hex) relation with map-side partial aggregation.
     sigs = (_spread(df, id_col)
             .select(F.col(id_col).alias("doc"),
                     F.col(text_col).alias("text"))
-            .mapInPandas(sig_gen, schema=sig_schema))
+            .mapInPandas(sig_gen, schema=sig_schema)
+            .groupBy("doc")
+            .agg(*[F.min(f"mh{i}").alias(f"mh{i}")
+                   for i in range(len(seeds_t))]))
     bands = [F.struct(
         F.lit(b).alias("band_idx"),
         F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}")
@@ -303,6 +308,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 # the cache).
 _SIMHASH_CACHE_MAX = 1 << 20
 
+# flat-token bound per vectorized simhash vote chunk: the tokens×64
+# bit matrix stays ≤ ~128 MB however long the documents are
+_SIMHASH_VOTE_TOKEN_BUDGET = 1 << 18
+
 
 @F.pandas_udf(T.LongType())
 def simhash_udf(texts_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -349,15 +358,33 @@ def simhash_udf(texts_iter: Iterator[pd.Series]) -> Iterator[pd.Series]:
             rows.append(i)
         if rows:
             hs = np.array(flat, dtype=np.uint64)
-            bits = ((hs[:, None] >> shifts) & one).astype(np.int32)
             n_toks = np.array(counts, dtype=np.int64)
-            starts = np.concatenate(
-                ([0], np.cumsum(n_toks)[:-1])).astype(np.intp)
-            ones_per_bit = np.add.reduceat(bits, starts, axis=0)
-            votes = 2 * ones_per_bit - n_toks[:, None]
-            sigs = ((votes > 0).astype(np.uint64) << shifts).sum(
-                axis=1, dtype=np.uint64)
-            out[np.array(rows, dtype=np.intp)] = sigs.astype(np.int64)
+            ends = np.cumsum(n_toks)
+            starts = np.concatenate(([0], ends[:-1])).astype(np.intp)
+            rows_ix = np.array(rows, dtype=np.intp)
+            # vectorize over DOC CHUNKS bounded by flat token count:
+            # the tokens×64 bit matrix would otherwise scale with the
+            # whole batch's token stream (long docs × wide batches →
+            # GBs); ≤2^18 tokens keeps it ≤ ~128 MB while still
+            # amortizing the numpy pass over many docs
+            budget = _SIMHASH_VOTE_TOKEN_BUDGET
+            d0 = 0
+            n_docs = len(counts)
+            while d0 < n_docs:
+                d1 = d0 + 1
+                while d1 < n_docs and ends[d1 - 1] - starts[d0] + \
+                        n_toks[d1] <= budget:
+                    d1 += 1
+                lo, hi = starts[d0], ends[d1 - 1]
+                bits = ((hs[lo:hi, None] >> shifts) & one).astype(
+                    np.int32)
+                seg_starts = (starts[d0:d1] - lo).astype(np.intp)
+                ones_per_bit = np.add.reduceat(bits, seg_starts, axis=0)
+                votes = 2 * ones_per_bit - n_toks[d0:d1, None]
+                sigs = ((votes > 0).astype(np.uint64) << shifts).sum(
+                    axis=1, dtype=np.uint64)
+                out[rows_ix[d0:d1]] = sigs.astype(np.int64)
+                d0 = d1
         yield pd.Series(out)
 
 

@@ -93,6 +93,12 @@ def repetition_filters(df: DataFrame, id_col: str, text_col: str,
     integer arithmetic per doc (duplicate counts via a dict, floor of
     the same float64 divisions both engines use) and emits one row per
     document directly.
+
+    Precondition: ``id_col`` is unique per row (one document per row).
+    A duplicated id yields one verdict row PER input row here, where
+    the old exploded path incidentally merged rows whose (id, n_words,
+    n_distinct) happened to coincide — neither behavior is meaningful
+    for multi-row ids; dedupe upstream.
     """
     import math
 
@@ -175,6 +181,10 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
     the final top-k is one per-doc window.  The corpus text crosses
     exactly one shuffle (the explode).  ``N`` is a driver-side scalar
     ``count()`` — one metadata-cheap job, not a collect of rows.
+
+    Precondition: ``id_col`` is unique per row (one document per row);
+    a duplicated id would emit duplicate (doc, term) tf rows where the
+    old explode→groupBy path merged them.  Dedupe upstream.
     """
     # Term frequencies computed in one narrow Arrow kernel: tf is a
     # per-doc statistic, so the explode → groupBy(doc, term) exchange

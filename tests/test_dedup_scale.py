@@ -438,6 +438,39 @@ def test_similarity_kernels_have_no_per_row_python_loop():
     assert "np.flatnonzero" in sel and "np.partition" in sel
 
 
+def test_minhash_merges_duplicate_doc_ids_like_exploded_path(spark):
+    """A doc id spread over several rows must get ONE signature over
+    the union of its rows' tokens — the semantics of the original
+    explode → groupBy(doc) formulation, preserved by the kernel's
+    trailing min-aggregation (min of per-row minima ≡ min over the
+    union)."""
+    import hashlib
+
+    from table_transformer_spark.operators.dedup import (
+        MINHASH_SEEDS,
+        minhash_band_buckets,
+    )
+
+    rows = [(1, "alpha bravo"), (1, "charlie delta"), (2, "echo fox")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.band_idx, r.band_key): (r.n_docs, r.canonical_id)
+           for r in minhash_band_buckets(df, "doc_id", "text").collect()}
+
+    def sig(tokens):
+        return [min(hashlib.md5((s + t).encode()).hexdigest()
+                    for t in tokens) for s in MINHASH_SEEDS]
+
+    expected = {}
+    for doc, toks in ((1, ["alpha", "bravo", "charlie", "delta"]),
+                      (2, ["echo", "fox"])):
+        mh = sig(toks)
+        for b in range(2):
+            key = (b, "|".join(mh[b * 4:(b + 1) * 4]))
+            n, c = expected.get(key, (0, doc))
+            expected[key] = (n + 1, min(c, doc))
+    assert out == expected
+
+
 def test_sims_chunking_is_value_identical():
     """The memory-bounded probe-row chunking in the brute-force / IVF
     scoring kernels must produce exactly the rows of the unchunked
