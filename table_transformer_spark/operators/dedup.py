@@ -487,9 +487,13 @@ def connected_components(pairs: DataFrame, src: str = "doc1",
     """
     e = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .filter(F.col("a") != F.col("b")))
+    # eager=False on the edge checkpoint: the eager label-init job
+    # below materializes it as a side effect, so the loop setup costs
+    # ONE driver-blocking job instead of two; every round still reads
+    # the persisted edge blocks, never the upstream pair pipeline
     sym = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
            .distinct()
-           .localCheckpoint(eager=True))
+           .localCheckpoint(eager=False))
     # init fused with round 1: with every label starting as its own
     # node id, the first propagation round computes exactly
     # least(node, min(neighbour ids)) — so seed the loop with that
